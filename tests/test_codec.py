@@ -1,0 +1,79 @@
+"""Codec fixtures per FIXTURES.md §4: round-trip + block-max exactness."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zensearch_spark.functions.codec import (
+    bm25_tf_component,
+    decode_block,
+    decode_varints,
+    encode_blocks,
+    encode_varints,
+)
+
+
+@pytest.mark.parametrize("n", [0, 1, 127, 128, 129, 10_000])
+def test_varint_roundtrip_lengths(n):
+    rng = np.random.default_rng(7 + n)
+    vals = rng.integers(0, 2**40, size=n).astype(np.uint64)
+    assert np.array_equal(decode_varints(encode_varints(vals)), vals)
+
+
+def test_varint_edge_values():
+    vals = np.array([0, 1, 127, 128, 129, 2**14 - 1, 2**14, 2**63 - 1, 2**64 - 1],
+                    dtype=np.uint64)
+    assert np.array_equal(decode_varints(encode_varints(vals)), vals)
+
+
+@pytest.mark.parametrize("gaps", ["unit", "uniform", "heavy"])
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 10_000])
+def test_block_roundtrip(gaps, n):
+    rng = np.random.default_rng(hash((gaps, n)) % 2**31)
+    if gaps == "unit":
+        docs = np.arange(n, dtype=np.int64) + 5
+    elif gaps == "uniform":
+        docs = np.cumsum(rng.integers(1, 1000, size=n)).astype(np.int64)
+    else:
+        steps = (rng.pareto(0.7, size=n) * 10 + 1).astype(np.int64)
+        docs = np.cumsum(steps)
+    tfs = rng.integers(1, 500, size=n).astype(np.int64)
+    dls = rng.integers(1, 2000, size=n).astype(np.int64)
+    avgdl, idf = 40.0, 3.21
+    blocks = encode_blocks(docs, tfs, dls, idf=idf, avgdl=avgdl)
+    got_docs, got_tfs, got_dls = [], [], []
+    for blk in blocks:
+        d, t, l = decode_block(
+            blk["first_doc"], blk["doc_bytes"], blk["tf_bytes"], blk["dl_bytes"]
+        )
+        assert len(d) == blk["n"] == len(t) == len(l)
+        assert d[0] == blk["first_doc"] and d[-1] == blk["last_doc"]
+        # per-block max_score is the exact max BM25 contribution
+        exact = idf * bm25_tf_component(t, l, avgdl)
+        assert blk["max_score"] == pytest.approx(exact.max(), abs=0, rel=0)
+        got_docs.append(d); got_tfs.append(t); got_dls.append(l)
+    assert np.array_equal(np.concatenate(got_docs), docs)
+    assert np.array_equal(np.concatenate(got_tfs), tfs)
+    assert np.array_equal(np.concatenate(got_dls), dls)
+
+
+def test_empty_posting_list():
+    assert encode_blocks(np.array([], dtype=np.int64), np.array([]), np.array([]),
+                         idf=1.0, avgdl=40.0) == []
+
+
+def test_hypothesis_roundtrip_optional():
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not available")
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+    def check(vals):
+        arr = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(decode_varints(encode_varints(arr)), arr)
+
+    check()

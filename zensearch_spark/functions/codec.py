@@ -1,0 +1,144 @@
+"""Posting-block codec: docID-delta + varint, fully NumPy-vectorized.
+
+Plays the role the reference's sequenced wire segments play for its
+corpus stream (reference: search-engine/internal/segment_serializer/
+segment_serializer.go:122-172 — fixed-size sequenced frames of a
+serialized row stream), re-imagined as compressed, sorted,
+max-score-annotated posting blocks (SURVEY.md §1.3, §7 M3).
+
+A posting list for one term is a sorted int64 doc_id array plus
+parallel uint32 tf and doc_len arrays. It is cut into BLOCK_SIZE-doc
+blocks; each block stores:
+
+- ``first_doc`` / ``last_doc`` (int64 metadata columns, for skipping)
+- ``n`` docs in block
+- ``max_score`` — exact max BM25 contribution of any doc in the block
+  (computed at encode time with the final idf/avgdl), the block-max
+  WAND bound
+- ``doc_bytes`` — varint(diff(doc_ids)) (n-1 values; first doc is in
+  metadata)
+- ``tf_bytes`` / ``dl_bytes`` — varint streams of tf and doc_len
+
+Varint = LEB128 (7 data bits per byte, high bit = continuation),
+encoded/decoded with O(max_len) vectorized passes, no per-element
+Python loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from zensearch_spark import B, BLOCK_SIZE, K1
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative integer array (vectorized)."""
+    vals = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = vals.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 7
+        tmp >>= np.uint64(7)
+    nbytes = np.maximum(nbits // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    shifted = vals.copy()
+    for k in range(int(nbytes.max())):
+        mask = nbytes > k
+        byte = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        more = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[offsets[mask] + k] = byte | more
+        shifted >>= np.uint64(7)
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_varints` → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.flatnonzero(b < 128)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    vals = np.zeros(len(ends), dtype=np.uint64)
+    for k in range(int(lengths.max())):
+        idx = lengths > k
+        vals[idx] |= (b[starts[idx] + k] & np.uint8(0x7F)).astype(np.uint64) << np.uint64(
+            7 * k
+        )
+    return vals
+
+
+def bm25_tf_component(
+    tf: np.ndarray, doc_len: np.ndarray, avgdl: float, k1: float = K1, b: float = B
+) -> np.ndarray:
+    """Canonical BM25 TF component: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+
+    Semantics pinned by BASELINE.json (canonical parenthesization; the
+    reference's degenerate variant at search-engine/internal/bm25/
+    tf.go:23-26 is intentionally NOT reproduced — SURVEY.md §2
+    semantics note).
+    """
+    tf = tf.astype(np.float64)
+    dl = doc_len.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def encode_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    idf: float,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> list[dict]:
+    """Cut one sorted posting list into compressed blocks.
+
+    Returns a list of dicts, one per block, with keys
+    (block_seq, n, first_doc, last_doc, max_score, doc_bytes,
+    tf_bytes, dl_bytes). doc_ids MUST be sorted ascending and unique.
+    """
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    n_total = len(doc_ids)
+    blocks: list[dict] = []
+    for seq, lo in enumerate(range(0, n_total, block_size)):
+        hi = min(lo + block_size, n_total)
+        docs = doc_ids[lo:hi]
+        tf = np.ascontiguousarray(tfs[lo:hi], dtype=np.uint64)
+        dl = np.ascontiguousarray(doc_lens[lo:hi], dtype=np.uint64)
+        contrib = idf * bm25_tf_component(tf, dl, avgdl)
+        blocks.append(
+            {
+                "block_seq": seq,
+                "n": int(hi - lo),
+                "first_doc": int(docs[0]),
+                "last_doc": int(docs[-1]),
+                "max_score": float(contrib.max()),
+                "doc_bytes": encode_varints(np.diff(docs).astype(np.uint64)),
+                "tf_bytes": encode_varints(tf),
+                "dl_bytes": encode_varints(dl),
+            }
+        )
+    return blocks
+
+
+def decode_block(
+    first_doc: int, doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block → (doc_ids int64, tfs int64, doc_lens int64)."""
+    deltas = decode_varints(doc_bytes).astype(np.int64)
+    docs = np.empty(len(deltas) + 1, dtype=np.int64)
+    docs[0] = first_doc
+    if len(deltas):
+        np.cumsum(deltas, out=docs[1:])
+        docs[1:] += first_doc
+    tfs = decode_varints(tf_bytes).astype(np.int64)
+    dls = decode_varints(dl_bytes).astype(np.int64)
+    return docs, tfs, dls

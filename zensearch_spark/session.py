@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+local[N] in the sandbox; the same configs are what we'd pass to
+spark-submit on a real cluster (AQE on, Arrow on, explicit shuffle
+partition sizing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "zensearch_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    driver_mem: str | None = None,
+) -> SparkSession:
+    cores = int(cores or os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    driver_mem = driver_mem or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Make the package importable in Python workers regardless of cwd —
+    # the local-mode analog of `spark-submit --py-files zensearch_spark.zip`.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
