@@ -1,38 +1,341 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship BM25 top-k over sf0.001 documents.
+queries()       — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()    — matching ANSI SQL for DuckDB over the same tables.
+
+Column-name parity rule: every computed column is aliased identically
+on both sides; float scores are rounded to 6 decimals on both sides so
+the driver's value-hash is stable across engines (exactness itself is
+guarded by tests/ against the NumPy oracle at 1e-9).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zensearch_spark import B, K1  # noqa: E402
+from zensearch_spark.operators.naive_scorer import naive_topk, tokenized_docs  # noqa: E402
+
+FLAGSHIP_QUERY = "spark vector hash stream"
+FLAGSHIP_K = 100
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the documents corpus at sf0.001."""
+    return _q_bm25_topk(spark, "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------- queries
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    top = naive_topk(docs, FLAGSHIP_QUERY, FLAGSHIP_K)
+    return top.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S1/P1: pruned scan — only 3 of 5 columns read, filter pushed down
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("n_chars") > 200)
+    )
+
+
+def _q_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1: per-doc token count (token semantics, SURVEY §2.4)
+    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+def _q_avgdl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2: global average document length
+    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    return docs.agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("doc_len"), 6).alias("avgdl")
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3+A4: df and idf for a fixed term set (token-exact)
+    terms = ["spark", "vector", "hash", "stream", "zzabsentzz"]
+    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+    pairs = (
+        docs.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn(
+            "idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+        )
+    )
+
+
+def _q_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: exact-token term frequency per (doc, term)
+    terms = ["spark", "join", "filter"]
+    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2: membership anti-filter (reference loops point SELECTs)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3/P4: EXISTS-style membership predicate
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000.0)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+def _q_dim_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1/J2: small-dim equi-join (broadcast) + grouped count
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+    )
+
+
+def _q_rank_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1+W2: global rank sort with deterministic tiebreak + top-k
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def _q_group_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8-style counting + richer aggregates over the events table
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def _q_tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": _q_bm25_topk,
+        "scan_project_filter": _q_scan_project_filter,
+        "doc_length": _q_doc_length,
+        "avgdl": _q_avgdl,
+        "term_stats": _q_term_stats,
+        "tf_table": _q_tf_table,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "dim_join_count": _q_dim_join_count,
+        "rank_sort_limit": _q_rank_sort_limit,
+        "group_agg_events": _q_group_agg_events,
+        "tpch_q1_like": _q_tpch_q1_like,
+        "tpch_q3_like": _q_tpch_q3_like,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------ oracles
+
+_TOK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+_BM25_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_TOK}) AS doc_len FROM documents
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({{terms}}) GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(stats.n_docs / dfreq.df)
+           * (tf.tf * ({K1} + 1.0)
+              / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.doc_len / stats.avgdl)))
+           AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id
+HAVING sum(contrib) > 0
+ORDER BY sum(contrib) DESC, doc_id ASC
+LIMIT {{k}}
+"""
+
+
+def _bm25_oracle(query: str, k: int) -> str:
+    terms = sorted(set(query.lower().split()))
+    quoted = ", ".join(f"'{t}'" for t in terms)
+    return _BM25_SQL.format(terms=quoted, k=k)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": _bm25_oracle(FLAGSHIP_QUERY, FLAGSHIP_K),
+        "scan_project_filter": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200"
+        ),
+        "doc_length": (
+            f"SELECT doc_id, len({_TOK})::BIGINT AS doc_len FROM documents"
+        ),
+        "avgdl": (
+            f"SELECT count(*) AS n_docs, round(avg(len({_TOK})), 6) AS avgdl "
+            "FROM documents"
+        ),
+        "term_stats": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+            pairs AS (SELECT DISTINCT doc_id, term FROM tok
+                      WHERE term IN ('spark','vector','hash','stream','zzabsentzz')),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT term, count(*) AS df,
+                   round(ln((SELECT n_docs FROM n) / count(*)), 6) AS idf
+            FROM pairs GROUP BY term
+        """,
+        "tf_table": f"""
+            WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)
+            SELECT doc_id, term, count(*) AS tf FROM tok
+            WHERE term IN ('spark','join','filter') GROUP BY doc_id, term
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 100000.0)
+        """,
+        "dim_join_count": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 4) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "rank_sort_limit": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 50
+        """,
+        "group_agg_events": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "tpch_q1_like": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_like": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+    }

@@ -1,0 +1,130 @@
+"""Naive (pure-DataFrame) BM25 top-k — SURVEY.md §7 M1.
+
+This is the declarative re-expression of the reference's whole
+scoring path (reference: search-engine/internal/bm25/score.go:19-95,
+tf.go:9-29, idf.go:10-31) as one Catalyst plan:
+
+    corpus → arrays_overlap prefilter → explode(tokens) →
+    filter(term ∈ query) → groupBy(doc,term).count (tf) →
+    groupBy(term).count (df) → BM25 column expression →
+    deterministic per-doc fold → orderBy(score desc, doc_id).limit(k)
+
+It is always-correct and is both the driver's oracle-checkable query
+and the cross-check for the block-max WAND path (operators/wand.py).
+
+Float determinism: per-doc contributions are folded in ascending
+term order via sort_array(collect_list(struct(term, contrib))) +
+F.aggregate — the exact fold order of the NumPy oracle — instead of
+an order-nondeterministic sum().
+
+Scale notes: the arrays_overlap prefilter prunes non-matching docs
+before the explode (the expensive step); tf/df aggregations get
+map-side partial aggregation from Catalyst; the df table (≤ #query
+terms rows) is broadcast.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zensearch_spark import B, K1
+from zensearch_spark.functions.tokenizer import tokenize_query
+
+
+def corpus_stats(docs: DataFrame) -> tuple[int, float]:
+    """(n_docs, avgdl) over a (doc_id, doc_len) DataFrame — the
+    build-once analog of the reference recomputing AvgDocLen per
+    query (reference: doc_length.go:18-26)."""
+    row = docs.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def bm25_contrib_col(tf_col, dl_col, idf_col, weight_col, avgdl: float):
+    """qweight · idf · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) as a Column."""
+    tf = tf_col.cast("double")
+    dl = dl_col.cast("double")
+    tfcomp = (tf * (K1 + 1.0)) / (
+        tf + K1 * (1.0 - B + B * dl / F.lit(float(avgdl)))
+    )
+    return weight_col * idf_col * tfcomp
+
+
+def naive_topk(
+    docs: DataFrame,
+    query: str,
+    k: int,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for one query string.
+
+    ``docs`` must have (doc_id long, tokens array<string>, doc_len int).
+    Stats are computed on the fly when not supplied (index-backed
+    callers pass the stored stats).
+    """
+    spark = docs.sparkSession
+    weights = Counter(tokenize_query(query))
+    if not weights:
+        return spark.createDataFrame([], "doc_id long, score double")
+    if n_docs is None or avgdl is None:
+        n_docs, avgdl = corpus_stats(docs)
+    if n_docs == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+
+    terms = sorted(weights)
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    weight_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(float(weights[t])))]
+    )
+
+    pairs = (
+        docs.filter(F.arrays_overlap("tokens", term_arr))
+        .select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = pairs.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn(
+            "contrib",
+            bm25_contrib_col(
+                F.col("tf"), F.col("doc_len"), F.col("idf"),
+                weight_map[F.col("term")], avgdl,
+            ),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("score")
+        )
+        .filter(F.col("score") > 0.0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return per_doc
+
+
+def tokenized_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, tokens, doc_len) from any (id, text) table."""
+    from zensearch_spark.functions.tokenizer import with_tokens
+
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+        .withColumn("tokens", with_tokens("text"))
+        .withColumn("doc_len", F.size("tokens"))
+        .drop("text")
+    )
