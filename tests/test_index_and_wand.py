@@ -1,0 +1,130 @@
+"""M3+M4: index build round-trip + three-way rank-identical agreement
+(oracle / naive DataFrame / block-max WAND) on the reference query
+set — SURVEY.md §5.2 layers 1, 2, 4."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.oracle_bm25 import OracleIndex, reference_query_set
+from zensearch_spark.plans.index_build import build_index
+from zensearch_spark.plans.query_plan import BM25Index
+
+
+@pytest.fixture(scope="module")
+def built(spark, small_corpus_pdf, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx"))
+    corpus = spark.createDataFrame(small_corpus_pdf)
+    paths = build_index(
+        spark, corpus, root, corpus_id="small-corpus-seed42-n200",
+        n_salt_ranges=6, n_term_buckets=8,
+    )
+    index = BM25Index(spark, root)
+    doc_map = (
+        spark.read.parquet(paths.doc_map)
+        .select("doc_id", "conv_id", "turn_idx", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle = OracleIndex(doc_map["doc_id"].tolist(), doc_map["text"].tolist())
+    return index, oracle, doc_map, small_corpus_pdf
+
+
+def test_stats_match_oracle(built):
+    index, oracle, *_ = built
+    assert index.stats["n_docs"] == oracle.n_docs
+    assert index.stats["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+
+
+def test_text_equality_invariant_through_pipeline(built):
+    """input_hint: per-turn text equality under stable ordering."""
+    _, _, doc_map, raw = built
+    want = raw.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    got = doc_map.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert list(got["text"]) == list(want["text"])
+    assert list(got["conv_id"]) == list(want["conv_id"])
+
+
+def test_blocks_reconstruct_postings(built):
+    """Decode every block of a few terms → exact (doc_id, tf) postings
+    vs oracle; blocks sorted & disjoint in (salt, block_seq) order."""
+    index, oracle, *_ = built
+    from zensearch_spark.functions.codec import decode_block
+
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    rare = min(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    for term in {hot, rare, "jozjo"} & set(oracle.postings):
+        pdf = (
+            index._blocks.filter(index._blocks.term == term)
+            .toPandas()
+            .sort_values(["salt", "block_seq"])
+        )
+        docs, tfs = [], []
+        for _, r in pdf.iterrows():
+            d, t, l = decode_block(
+                r["first_doc"], r["doc_bytes"], r["tf_bytes"], r["dl_bytes"]
+            )
+            docs.append(d)
+            tfs.append(t)
+            assert len(d) == r["n"]
+        docs = np.concatenate(docs)
+        tfs = np.concatenate(tfs)
+        assert list(docs) == sorted(docs), "global doc order across salts"
+        want = oracle.postings[term]
+        want_docs = sorted(oracle.doc_ids[p] for p in want)
+        assert list(docs) == want_docs
+        got_tf = dict(zip(docs.tolist(), tfs.tolist()))
+        for pos, tf in want.items():
+            assert got_tf[oracle.doc_ids[pos]] == tf
+
+
+def test_hot_term_salted_across_groups(built):
+    index, oracle, *_ = built
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    n_salts = (
+        index._blocks.filter(index._blocks.term == hot)
+        .select("salt").distinct().count()
+    )
+    assert n_salts > 1, "Zipf-head term must be split across salt groups"
+
+
+def _rank_identical(got, want):
+    assert len(got) == len(want), (got[:5], want[:5], len(got), len(want))
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gd == wd, (got[:15], want[:15])
+        assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12)
+
+
+@pytest.mark.parametrize("qid", list(range(0, 50, 1)))
+def test_three_way_agreement(built, qid):
+    index, oracle, *_ = built
+    q = reference_query_set()[qid]
+    want = oracle.score_query(q["query_text"], q["k"])
+    wand = [(r["doc_id"], r["score"]) for r in index.topk(q["query_text"], q["k"]).collect()]
+    _rank_identical(wand, want)
+
+
+@pytest.mark.parametrize("qid", [2, 9, 16, 33, 47])
+def test_naive_path_agreement_on_index(built, qid):
+    index, oracle, *_ = built
+    q = reference_query_set()[qid]
+    want = oracle.score_query(q["query_text"], q["k"])
+    naive = [
+        (r["doc_id"], r["score"])
+        for r in index.naive_topk(q["query_text"], q["k"]).collect()
+    ]
+    _rank_identical(naive, want)
+
+
+def test_hydration_roundtrip(built):
+    index, oracle, doc_map, _ = built
+    q = reference_query_set()[3]
+    hyd = index.topk_hydrated(q["query_text"], 5).toPandas()
+    assert len(hyd) <= 5
+    by_id = doc_map.set_index("doc_id")
+    for _, r in hyd.iterrows():
+        assert r["text"] == by_id.loc[r["doc_id"], "text"]
+        assert r["conv_id"] == by_id.loc[r["doc_id"], "conv_id"]

@@ -1,0 +1,138 @@
+"""Checkpoint-resumable stages with per-partition lineage manifests.
+
+The Spark-native rebuild of the reference's frontier-queue state
+machine (reference: db.init.sql:24-38, database/src/database.ts:
+227-335): stage ≙ queue, partition file ≙ node, committed manifest ≙
+visited_nodes row, and the reference's transactional
+INSERT-visited + DELETE-node (database.ts:317-335) becomes
+write-to-temp + atomic rename + manifest commit.
+
+A stage re-runs iff its fingerprint (params + upstream manifest
+hashes) changed or its output is missing — `north_rule`'s "resumable
+from checkpoint with per-partition lineage + metrics".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass
+
+
+def _fingerprint_hash(fingerprint: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(fingerprint, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+def _partition_lineage(path: str) -> list[dict]:
+    """Per-file lineage: name, bytes, rows (parquet footer only)."""
+    import pyarrow.parquet as pq
+
+    lineage = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            try:
+                rows = pq.ParquetFile(full).metadata.num_rows
+            except Exception:
+                rows = None
+            lineage.append(
+                {
+                    "file": os.path.relpath(full, path),
+                    "bytes": os.path.getsize(full),
+                    "rows": rows,
+                }
+            )
+    return lineage
+
+
+@dataclass
+class StageResult:
+    name: str
+    output_path: str
+    skipped: bool
+    manifest: dict
+
+
+class StageRunner:
+    """Runs named stages under an index root with skip-if-committed."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.manifest_dir, f"{name}.json")
+
+    def load_manifest(self, name: str) -> dict | None:
+        p = self._manifest_path(name)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def run(
+        self,
+        name: str,
+        fingerprint: dict,
+        build: Callable[[str], dict],
+        force: bool = False,
+    ) -> StageResult:
+        """Run stage ``name``: build(tmp_path) writes output and returns
+        a metrics dict. Commits atomically; skips when already
+        committed with an identical fingerprint."""
+        out = os.path.join(self.root, name)
+        fp_hash = _fingerprint_hash(fingerprint)
+        manifest = self.load_manifest(name)
+        if (
+            not force
+            and manifest is not None
+            and manifest.get("fingerprint_hash") == fp_hash
+            and manifest.get("status") == "committed"
+            and os.path.exists(out)
+        ):
+            return StageResult(name, out, skipped=True, manifest=manifest)
+
+        tmp = os.path.join(self.root, f".tmp-{name}-{uuid.uuid4().hex[:8]}")
+        t0 = time.monotonic()
+        try:
+            metrics = build(tmp) or {}
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        wall = time.monotonic() - t0
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        manifest = {
+            "stage": name,
+            "status": "committed",
+            "fingerprint": fingerprint,
+            "fingerprint_hash": fp_hash,
+            "output_path": out,
+            "wall_sec": round(wall, 3),
+            "metrics": metrics,
+            "partitions": _partition_lineage(out),
+        }
+        mp = self._manifest_path(name)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(mp + ".tmp", mp)
+        return StageResult(name, out, skipped=False, manifest=manifest)
+
+    def upstream_hash(self, name: str) -> str:
+        """Lineage chaining: a stage's fingerprint includes its
+        upstream stages' manifest hashes."""
+        m = self.load_manifest(name)
+        if m is None:
+            raise RuntimeError(f"upstream stage {name!r} not committed")
+        return m["fingerprint_hash"]

@@ -1,0 +1,261 @@
+"""Distributed inverted-index build (SURVEY.md §7 M3).
+
+Stages (each checkpoint-resumable via plans/checkpoint.py):
+
+1. ``doc_map``   — stable docIDs (operators/docmap.py) + doc_len +
+                   hydration columns, range-sorted by doc_id.
+2. ``postings``  — (term, doc_id, tf, doc_len) via tokenize → explode
+                   → groupBy(term, doc_id) with map-side partial agg.
+3. ``term_dict`` — (term, df, idf); idf = ln(N/df)
+                   (reference: search-engine/internal/bm25/idf.go:10-18,
+                   token-exact instead of substring — SURVEY §2 note).
+4. ``blocks``    — compressed posting blocks. Explicit skew handling
+                   per `north_rule`: a GLOBAL doc-range stride salts
+                   every term's postings into (term, salt) groups of
+                   ≤ stride docs, so the Zipf-head terms (hot keys)
+                   split across the cluster while concatenation in
+                   salt order stays globally doc_id-sorted — no
+                   re-sort merge needed (the merge is the implicit
+                   union of block rows, ordered by (salt, block_seq)).
+                   Blocks are 128-doc delta+varint frames with exact
+                   per-block max-score (functions/codec.py), written
+                   partitionBy(term_bucket) so query-term lookups
+                   prune files.
+
+Scale notes: no collect() touches corpus-sized data; the only
+driver-side values are n_docs/avgdl/stride. groupBy(term, doc_id)
+and groupBy(term).count() are safe under Zipf skew because Catalyst
+does partial (map-side) aggregation; the one truly skew-prone shuffle
+— grouping a hot term's postings into one place for encoding — is
+exactly the one the salt splits.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zensearch_spark import BLOCK_SIZE
+from zensearch_spark.functions.tokenizer import with_tokens
+from zensearch_spark.operators.docmap import assign_doc_ids, unpersist_intermediates
+from zensearch_spark.plans.checkpoint import StageRunner
+
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("block_seq", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("doc_bytes", T.BinaryType(), False),
+        T.StructField("tf_bytes", T.BinaryType(), False),
+        T.StructField("dl_bytes", T.BinaryType(), False),
+    ]
+)
+
+
+@dataclass
+class IndexPaths:
+    root: str
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def doc_map(self) -> str:
+        return os.path.join(self.root, "doc_map")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def term_dict(self) -> str:
+        return os.path.join(self.root, "term_dict")
+
+    @property
+    def blocks(self) -> str:
+        return os.path.join(self.root, "blocks")
+
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @classmethod
+    def load(cls, root: str) -> "IndexPaths":
+        with open(os.path.join(root, "stats.json")) as f:
+            return cls(root=root, stats=json.load(f))
+
+
+def _make_block_encoder(avgdl: float, block_size: int):
+    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from zensearch_spark.functions.codec import encode_blocks
+
+        pdf = pdf.sort_values("doc_id")
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        idf = float(pdf["idf"].iloc[0])
+        blocks = encode_blocks(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doc_len"].to_numpy(),
+            idf=idf,
+            avgdl=avgdl,
+            block_size=block_size,
+        )
+        return pd.DataFrame(
+            {
+                "term": term,
+                "salt": salt,
+                "block_seq": [b["block_seq"] for b in blocks],
+                "n": [b["n"] for b in blocks],
+                "first_doc": [b["first_doc"] for b in blocks],
+                "last_doc": [b["last_doc"] for b in blocks],
+                "max_score": [b["max_score"] for b in blocks],
+                "doc_bytes": [b["doc_bytes"] for b in blocks],
+                "tf_bytes": [b["tf_bytes"] for b in blocks],
+                "dl_bytes": [b["dl_bytes"] for b in blocks],
+            }
+        )
+
+    return encode_group
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_root: str,
+    corpus_id: str,
+    block_size: int = BLOCK_SIZE,
+    n_salt_ranges: int | None = None,
+    n_term_buckets: int = 16,
+    force: bool = False,
+) -> IndexPaths:
+    """Build the full index under ``out_root``. ``corpus_id`` is the
+    caller's stable identity for the input (path or generator params)
+    — it anchors every stage fingerprint."""
+    runner = StageRunner(out_root)
+    paths = IndexPaths(root=out_root)
+
+    # ---- stage 1: doc_map -------------------------------------------------
+    def build_doc_map(tmp: str) -> dict:
+        stamped = assign_doc_ids(corpus)
+        out = stamped.withColumn("doc_len", F.size(with_tokens("text")))
+        n = spark.sparkContext.defaultParallelism
+        (
+            out.repartitionByRange(max(n, 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        unpersist_intermediates(stamped)
+        return {}
+
+    r1 = runner.run(
+        "doc_map",
+        {"corpus_id": corpus_id, "op": "assign_doc_ids+doc_len", "v": 1},
+        build_doc_map,
+        force=force,
+    )
+
+    # ---- stage 2: postings ------------------------------------------------
+    def build_postings(tmp: str) -> dict:
+        doc_map = spark.read.parquet(r1.output_path)
+        pairs = (
+            doc_map.select("doc_id", "doc_len", F.explode(with_tokens("text")).alias("term"))
+        )
+        postings = pairs.groupBy("term", "doc_id").agg(
+            F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
+        )
+        postings.write.mode("overwrite").parquet(tmp)
+        return {}
+
+    r2 = runner.run(
+        "postings",
+        {"upstream": runner.upstream_hash("doc_map"), "op": "tf-pairs", "v": 1},
+        build_postings,
+        force=force,
+    )
+
+    # ---- stage 3: stats + term_dict ----------------------------------------
+    def build_term_dict(tmp: str) -> dict:
+        doc_map = spark.read.parquet(r1.output_path)
+        row = doc_map.agg(
+            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+        ).collect()[0]
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+        postings = spark.read.parquet(r2.output_path)
+        term_dict = (
+            postings.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        )
+        term_dict.write.mode("overwrite").parquet(tmp)
+        return {"n_docs": n_docs, "avgdl": avgdl}
+
+    r3 = runner.run(
+        "term_dict",
+        {"upstream": runner.upstream_hash("postings"), "op": "df+idf", "v": 1},
+        build_term_dict,
+        force=force,
+    )
+    n_docs = int(r3.manifest["metrics"]["n_docs"])
+    avgdl = float(r3.manifest["metrics"]["avgdl"])
+
+    # ---- stage 4: blocks ----------------------------------------------------
+    if n_salt_ranges is None:
+        # ~500k postings per hot-term salt group at most; ≥ parallelism
+        n_salt_ranges = max(
+            spark.sparkContext.defaultParallelism,
+            math.ceil(n_docs / 500_000),
+        )
+    stride = max(1, math.ceil(n_docs / n_salt_ranges))
+
+    def build_blocks(tmp: str) -> dict:
+        postings = spark.read.parquet(r2.output_path)
+        term_dict = spark.read.parquet(r3.output_path)
+        enriched = postings.join(term_dict.select("term", "idf"), "term").withColumn(
+            "salt", (F.col("doc_id") / F.lit(stride)).cast("int")
+        )
+        encoded = enriched.groupBy("term", "salt").applyInPandas(
+            _make_block_encoder(avgdl, block_size), schema=BLOCK_SCHEMA
+        )
+        out = encoded.withColumn(
+            "term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets))
+        )
+        out.write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+        return {"stride": stride, "n_salt_ranges": n_salt_ranges}
+
+    runner.run(
+        "blocks",
+        {
+            "upstream": [runner.upstream_hash("postings"), runner.upstream_hash("term_dict")],
+            "block_size": block_size,
+            "stride": stride,
+            "n_term_buckets": n_term_buckets,
+            "v": 1,
+        },
+        build_blocks,
+        force=force,
+    )
+
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "stride": stride,
+        "block_size": block_size,
+        "n_term_buckets": n_term_buckets,
+        "corpus_id": corpus_id,
+    }
+    with open(paths.stats_path + ".tmp", "w") as f:
+        json.dump(stats, f, indent=1)
+    os.replace(paths.stats_path + ".tmp", paths.stats_path)
+    paths.stats = stats
+    return paths
