@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract + SURVEY.md §6).
+
+Runs the headline workload and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Workload:
+  1. every __spark_entry__.queries() operator at $SPARK_GRAFT_SF_DIR
+     (default /root/testdata/sf0.1), forced with a noop write so the
+     whole plan executes without driver collect overhead;
+  2. inverted-index build over a deterministic synthetic transcripts
+     corpus (~1e5 turns) — reports turns-indexed/sec;
+  3. the reference query set (first 12 queries) through the block-max
+     WAND engine — reports queries/sec.
+
+All progress goes to stderr; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_N_CONVS = int(os.environ.get("ZS_BENCH_N_CONVS", "12000"))
+BENCH_N_QUERIES = int(os.environ.get("ZS_BENCH_N_QUERIES", "12"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entrymod
+    from zensearch_spark.plans.index_build import build_index
+    from zensearch_spark.plans.query_plan import BM25Index
+    from zensearch_spark.session import get_spark
+    from zensearch_spark.sources.corpus import generate_transcripts
+
+    spark = get_spark(app="zensearch-bench", cores=cores)
+    timings: dict[str, float] = {}
+    t_all = time.monotonic()
+
+    # -- 1. operator battery at sf_dir ---------------------------------
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+        log(f"[bench] {name}: {timings[name]}s")
+
+    # -- 2. index build throughput --------------------------------------
+    idx_root = os.path.join(tempfile.gettempdir(), f"zs_bench_idx_{cores}")
+    shutil.rmtree(idx_root, ignore_errors=True)
+    corpus = generate_transcripts(spark, BENCH_N_CONVS, seed=42)
+    t0 = time.monotonic()
+    paths = build_index(
+        spark, corpus, idx_root,
+        corpus_id=f"bench:n_convs={BENCH_N_CONVS}:seed=42",
+        n_salt_ranges=64,
+    )
+    build_sec = time.monotonic() - t0
+    n_docs = paths.stats["n_docs"]
+    timings["index_build"] = round(build_sec, 3)
+    turns_per_sec = round(n_docs / build_sec, 1)
+    log(f"[bench] index_build: {build_sec:.1f}s ({n_docs} turns, {turns_per_sec}/s)")
+
+    # -- 3. WAND query set ----------------------------------------------
+    from tests.oracle_bm25 import reference_query_set
+
+    index = BM25Index(spark, idx_root)
+    qset = reference_query_set()[:BENCH_N_QUERIES]
+    t0 = time.monotonic()
+    index.topk_batch(
+        [(q["query_id"], q["query_text"], q["k"]) for q in qset]
+    ).collect()
+    query_sec = time.monotonic() - t0
+    timings["wand_query_set"] = round(query_sec, 3)
+    qps = round(len(qset) / query_sec, 3)
+    log(f"[bench] wand_query_set: {query_sec:.1f}s ({qps} q/s)")
+
+    total = round(time.monotonic() - t_all, 3)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cores": cores,
+        "index": {
+            "n_docs": n_docs,
+            "turns_per_sec": turns_per_sec,
+            "build_sec": round(build_sec, 3),
+            "query_per_sec": qps,
+        },
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,57 @@ def test_hypothesis_roundtrip_optional():
         assert np.array_equal(decode_varints(encode_varints(arr)), arr)
 
     check()
+
+
+def test_encode_sorted_runs_equals_per_list_encoder():
+    """Whole-partition vectorized encoder must produce byte-identical
+    blocks to the per-list reference encoder across many groups."""
+    rng = np.random.default_rng(123)
+    terms, salts, docs, tfs, dls, idfs = [], [], [], [], [], []
+    group_change = []
+    avgdl = 37.5
+    per_group = {}
+    for g, (term, salt) in enumerate(
+        [("a", 0), ("a", 1), ("bb", 0), ("ccc", 3), ("ccc", 4), ("d", 0)]
+    ):
+        n = int(rng.integers(1, 400))
+        d = np.cumsum(rng.integers(1, 50, size=n)).astype(np.int64)
+        t = rng.integers(1, 30, size=n).astype(np.int64)
+        l = rng.integers(1, 500, size=n).astype(np.int64)
+        idf = float(rng.uniform(0.1, 5.0))
+        per_group[(term, salt)] = (d, t, l, idf)
+        terms += [term] * n
+        salts += [salt] * n
+        docs.append(d); tfs.append(t); dls.append(l)
+        idfs += [idf] * n
+        group_change += [True] + [False] * (n - 1)
+
+    from zensearch_spark.functions.codec import encode_sorted_runs
+
+    enc = encode_sorted_runs(
+        np.array(salts, np.int32),
+        np.concatenate(docs),
+        np.concatenate(tfs),
+        np.concatenate(dls),
+        np.array(idfs, np.float64),
+        np.array(group_change, bool),
+        avgdl=avgdl,
+    )
+    terms_arr = np.array(terms, dtype=object)
+    salts_arr = np.array(salts, np.int32)
+    rb = enc["row_of_block"]
+    i = 0
+    for (term, salt), (d, t, l, idf) in per_group.items():
+        want = encode_blocks(d, t, l, idf=idf, avgdl=avgdl)
+        for b in want:
+            assert terms_arr[rb[i]] == term and salts_arr[rb[i]] == salt
+            assert enc["block_seq"][i] == b["block_seq"]
+            assert enc["n"][i] == b["n"]
+            assert enc["first_doc"][i] == b["first_doc"]
+            assert enc["last_doc"][i] == b["last_doc"]
+            assert enc["max_score"][i] == b["max_score"]
+            assert enc["doc_bytes"][i] == b["doc_bytes"]
+            assert enc["tf_bytes"][i] == b["tf_bytes"]
+            assert enc["dl_bytes"][i] == b["dl_bytes"]
+            i += 1
+    assert i == len(rb)

@@ -128,3 +128,19 @@ def test_hydration_roundtrip(built):
     for _, r in hyd.iterrows():
         assert r["text"] == by_id.loc[r["doc_id"], "text"]
         assert r["conv_id"] == by_id.loc[r["doc_id"], "conv_id"]
+
+
+def test_batch_matches_per_query(built):
+    """topk_batch must return exactly the per-query oracle results for
+    the whole reference set in one job."""
+    index, oracle, *_ = built
+    qset = reference_query_set()
+    batch = index.topk_batch(
+        [(q["query_id"], q["query_text"], q["k"]) for q in qset]
+    ).collect()
+    got: dict[int, list] = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for q in qset:
+        want = oracle.score_query(q["query_text"], q["k"])
+        _rank_identical(got.get(q["query_id"], []), want)

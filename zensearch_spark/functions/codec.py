@@ -129,6 +129,103 @@ def encode_blocks(
     return blocks
 
 
+def _varint_nbytes(vals: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 encoded length (vectorized)."""
+    vals = vals.astype(np.uint64)
+    nb = np.ones(len(vals), dtype=np.int64)
+    for k in range(1, 10):
+        nb += (vals >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nb
+
+
+def encode_sorted_runs(
+    salt: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    idfs: np.ndarray,
+    group_change: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> dict[str, np.ndarray | list]:
+    """Whole-partition vectorized block encoding.
+
+    Input: parallel row arrays covering MANY (term, salt) posting
+    groups, sorted by (group, doc_id); ``group_change[i]`` is True
+    where row i starts a new group. One NumPy pass computes every
+    block's metadata and byte streams — no per-group Python call
+    (the per-group applyInPandas variant costs one interpreter round
+    trip per group, which at web scale means one per term·salt).
+
+    Returns column arrays for the blocks table (minus term/salt
+    columns, which the caller takes at ``block_start`` rows via the
+    returned ``row_of_block`` index).
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return {
+            "row_of_block": np.empty(0, np.int64),
+            "block_seq": np.empty(0, np.int32),
+            "n": np.empty(0, np.int32),
+            "first_doc": np.empty(0, np.int64),
+            "last_doc": np.empty(0, np.int64),
+            "max_score": np.empty(0, np.float64),
+            "doc_bytes": [],
+            "tf_bytes": [],
+            "dl_bytes": [],
+        }
+    doc_ids = np.ascontiguousarray(doc_ids, np.int64)
+    grp_id = np.cumsum(group_change) - 1
+    grp_first_row = np.flatnonzero(group_change)
+    pos_in_group = np.arange(n) - grp_first_row[grp_id]
+    block_in_group = pos_in_group // block_size
+    block_start = group_change | (pos_in_group % block_size == 0)
+    block_starts = np.flatnonzero(block_start)
+    n_blocks = len(block_starts)
+    block_ends = np.concatenate([block_starts[1:], [n]])
+    counts = (block_ends - block_starts).astype(np.int32)
+
+    contrib = idfs * bm25_tf_component(tfs, doc_lens, avgdl)
+    max_score = np.maximum.reduceat(contrib, block_starts)
+
+    # doc-delta stream: per-row delta, excluded at block starts
+    delta = np.empty(n, np.int64)
+    delta[0] = 0
+    delta[1:] = doc_ids[1:] - doc_ids[:-1]
+    keep = ~block_start
+    doc_stream_vals = delta[keep].astype(np.uint64)
+    doc_nb = np.zeros(n, np.int64)
+    doc_nb[keep] = _varint_nbytes(doc_stream_vals)
+    doc_block_len = np.add.reduceat(doc_nb, block_starts)
+    doc_buf = encode_varints(doc_stream_vals)
+
+    tf_vals = np.ascontiguousarray(tfs, np.uint64)
+    tf_nb = _varint_nbytes(tf_vals)
+    tf_block_len = np.add.reduceat(tf_nb, block_starts)
+    tf_buf = encode_varints(tf_vals)
+
+    dl_vals = np.ascontiguousarray(doc_lens, np.uint64)
+    dl_nb = _varint_nbytes(dl_vals)
+    dl_block_len = np.add.reduceat(dl_nb, block_starts)
+    dl_buf = encode_varints(dl_vals)
+
+    def slices(buf: bytes, lens: np.ndarray) -> list[bytes]:
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        return [buf[offs[i]: offs[i + 1]] for i in range(n_blocks)]
+
+    return {
+        "row_of_block": block_starts,
+        "block_seq": block_in_group[block_starts].astype(np.int32),
+        "n": counts,
+        "first_doc": doc_ids[block_starts],
+        "last_doc": doc_ids[block_ends - 1],
+        "max_score": max_score,
+        "doc_bytes": slices(doc_buf, doc_block_len),
+        "tf_bytes": slices(tf_buf, tf_block_len),
+        "dl_bytes": slices(dl_buf, dl_block_len),
+    }
+
+
 def decode_block(
     first_doc: int, doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

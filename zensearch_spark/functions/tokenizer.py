@@ -30,14 +30,19 @@ def tokenize_query(query: str) -> list[str]:
     return query.lower().split()
 
 
-def with_tokens(col: str = "text") -> Column:
-    return tokenize_udf(F.col(col))
-
-
 def tokens_sql_expr(col: str = "text") -> Column:
-    """Pure-JVM equivalent (regex split), used where a no-Python plan
-    matters more than the pandas path; identical results on our
-    corpus (single-space separated)."""
+    """Pure-JVM tokenizer (regex split) — stays inside whole-stage
+    codegen, no Python round trip. Semantics match the pandas/oracle
+    tokenizer for ASCII whitespace (the only whitespace our corpora
+    contain); Java's \\s is [ \\t\\n\\x0B\\f\\r] while Python's
+    str.split() also covers exotic Unicode spaces — if a future
+    corpus carries those, switch the hot path back to tokenize_udf."""
     return F.filter(
-        F.split(F.lower(F.trim(F.col(col))), r"\s+"), lambda t: t != F.lit("")
+        F.split(F.lower(F.coalesce(F.col(col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
     )
+
+
+def with_tokens(col: str = "text") -> Column:
+    """Hot-path tokenizer used by the index build and naive scorer."""
+    return tokens_sql_expr(col)

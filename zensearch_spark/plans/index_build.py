@@ -94,38 +94,69 @@ class IndexPaths:
             return cls(root=root, stats=json.load(f))
 
 
-def _make_block_encoder(avgdl: float, block_size: int):
-    def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from zensearch_spark.functions.codec import encode_blocks
+def _encode_sorted_pdf(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.DataFrame:
+    """Encode a (term, salt, doc_id)-sorted slice covering whole groups."""
+    import numpy as np
 
-        pdf = pdf.sort_values("doc_id")
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        idf = float(pdf["idf"].iloc[0])
-        blocks = encode_blocks(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            idf=idf,
-            avgdl=avgdl,
-            block_size=block_size,
-        )
-        return pd.DataFrame(
-            {
-                "term": term,
-                "salt": salt,
-                "block_seq": [b["block_seq"] for b in blocks],
-                "n": [b["n"] for b in blocks],
-                "first_doc": [b["first_doc"] for b in blocks],
-                "last_doc": [b["last_doc"] for b in blocks],
-                "max_score": [b["max_score"] for b in blocks],
-                "doc_bytes": [b["doc_bytes"] for b in blocks],
-                "tf_bytes": [b["tf_bytes"] for b in blocks],
-                "dl_bytes": [b["dl_bytes"] for b in blocks],
-            }
-        )
+    from zensearch_spark.functions.codec import encode_sorted_runs
 
-    return encode_group
+    terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy(dtype=np.int32)
+    change = np.ones(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    enc = encode_sorted_runs(
+        salts,
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["tf"].to_numpy(np.int64),
+        pdf["doc_len"].to_numpy(np.int64),
+        pdf["idf"].to_numpy(np.float64),
+        change,
+        avgdl=avgdl,
+        block_size=block_size,
+    )
+    rb = enc["row_of_block"]
+    return pd.DataFrame(
+        {
+            "term": terms[rb],
+            "salt": salts[rb],
+            "block_seq": enc["block_seq"],
+            "n": enc["n"],
+            "first_doc": enc["first_doc"],
+            "last_doc": enc["last_doc"],
+            "max_score": enc["max_score"],
+            "doc_bytes": enc["doc_bytes"],
+            "tf_bytes": enc["tf_bytes"],
+            "dl_bytes": enc["dl_bytes"],
+        }
+    )
+
+
+def _make_partition_encoder(avgdl: float, block_size: int):
+    """mapInPandas encoder: one Python call per Arrow batch, with a
+    carry-over buffer so a (term, salt) group split across batches is
+    encoded whole (groups never split across partitions — the
+    repartition keys guarantee that)."""
+
+    def encode_partition(batches):
+        buf: pd.DataFrame | None = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_term = pdf["term"].iloc[-1]
+            last_salt = pdf["salt"].iloc[-1]
+            tail_mask = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
+            # rows of the (possibly incomplete) final group stay buffered
+            split_at = int(len(pdf) - tail_mask.to_numpy()[::-1].cumprod().sum())
+            head, buf = pdf.iloc[:split_at], pdf.iloc[split_at:]
+            if len(head):
+                yield _encode_sorted_pdf(head, avgdl, block_size)
+        if buf is not None and len(buf):
+            yield _encode_sorted_pdf(buf, avgdl, block_size)
+
+    return encode_partition
 
 
 def build_index(
@@ -148,13 +179,10 @@ def build_index(
     def build_doc_map(tmp: str) -> dict:
         stamped = assign_doc_ids(corpus)
         out = stamped.withColumn("doc_len", F.size(with_tokens("text")))
-        n = spark.sparkContext.defaultParallelism
-        (
-            out.repartitionByRange(max(n, 4), "doc_id")
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        # already range-ordered by (conv_id, turn_idx) ≡ doc_id order up
+        # to the pid-hash of the stamping window — good enough locality;
+        # a second range shuffle here would double the stage cost
+        out.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
         unpersist_intermediates(stamped)
         return {}
 
@@ -221,11 +249,17 @@ def build_index(
     def build_blocks(tmp: str) -> dict:
         postings = spark.read.parquet(r2.output_path)
         term_dict = spark.read.parquet(r3.output_path)
-        enriched = postings.join(term_dict.select("term", "idf"), "term").withColumn(
-            "salt", (F.col("doc_id") / F.lit(stride)).cast("int")
+        nparts = spark.sparkContext.defaultParallelism * 2
+        enriched = (
+            postings.join(term_dict.select("term", "idf"), "term")
+            .withColumn("salt", (F.col("doc_id") / F.lit(stride)).cast("int"))
+            # hot-term skew handled here: the shuffle key includes the
+            # doc-range salt, so the Zipf head spreads across tasks
+            .repartition(nparts, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
         )
-        encoded = enriched.groupBy("term", "salt").applyInPandas(
-            _make_block_encoder(avgdl, block_size), schema=BLOCK_SCHEMA
+        encoded = enriched.mapInPandas(
+            _make_partition_encoder(avgdl, block_size), schema=BLOCK_SCHEMA
         )
         out = encoded.withColumn(
             "term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets))

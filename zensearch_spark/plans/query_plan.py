@@ -15,12 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zensearch_spark.functions.tokenizer import tokenize_query
-from zensearch_spark.operators.wand import wand_topk
+from zensearch_spark.operators.wand import wand_topk, wand_topk_batch
 from zensearch_spark.plans.index_build import IndexPaths
 
 
 class BM25Index:
     """Handle over a built index (plans/index_build.py layout)."""
+
+    # above this vocabulary size the dictionary stays distributed and
+    # every batch pays one filtered collect; below it, one full load
+    # serves every subsequent query from driver memory
+    TERM_CACHE_MAX = 5_000_000
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -28,12 +33,43 @@ class BM25Index:
         self.stats = self.paths.stats
         self._blocks = spark.read.parquet(self.paths.blocks)
         self._term_dict = spark.read.parquet(self.paths.term_dict)
+        self._term_cache: dict[str, tuple[int, float]] | None = None
+        self._term_cache_tried = False
 
-    # -- the broadcast dictionary: tiny per-query collect ----------------
-    def term_rows(self, query: str) -> list[dict]:
-        terms = sorted(set(tokenize_query(query)))
+    def _load_term_cache(self) -> dict[str, tuple[int, float]] | None:
+        if self._term_cache_tried:
+            return self._term_cache
+        self._term_cache_tried = True
+        import json
+        import os
+
+        manifest = os.path.join(self.paths.root, "_manifests", "term_dict.json")
+        n_terms = None
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                n_terms = sum(
+                    p["rows"] or 0 for p in json.load(f)["partitions"]
+                )
+        if n_terms is not None and n_terms <= self.TERM_CACHE_MAX:
+            pdf = self._term_dict.toPandas()
+            self._term_cache = {
+                t: (int(d), float(i))
+                for t, d, i in zip(pdf["term"], pdf["df"], pdf["idf"])
+            }
+        return self._term_cache
+
+    # -- the broadcast dictionary: driver cache or tiny collect ----------
+    def term_rows(self, *queries: str) -> list[dict]:
+        terms = sorted({t for q in queries for t in tokenize_query(q)})
         if not terms:
             return []
+        cache = self._load_term_cache()
+        if cache is not None:
+            return [
+                {"term": t, "df": cache[t][0], "idf": cache[t][1]}
+                for t in terms
+                if t in cache
+            ]
         rows = (
             self._term_dict.filter(F.col("term").isin(terms))
             .select("term", "df", "idf")
@@ -49,6 +85,19 @@ class BM25Index:
             self.term_rows(query),
             query,
             k,
+            avgdl=float(self.stats["avgdl"]),
+            n_term_buckets=int(self.stats["n_term_buckets"]),
+        )
+
+    def topk_batch(self, queries: list[tuple[int, str, int]]) -> DataFrame:
+        """(query_id, doc_id, score) for a whole query set in ONE
+        Spark job — the throughput path (decoded blocks shared across
+        queries within each salt group)."""
+        return wand_topk_batch(
+            self.spark,
+            self._blocks,
+            self.term_rows(*[q for _, q, _ in queries]),
+            queries,
             avgdl=float(self.stats["avgdl"]),
             n_term_buckets=int(self.stats["n_term_buckets"]),
         )
