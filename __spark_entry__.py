@@ -197,6 +197,111 @@ def _q_tpch_q3_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.8)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=5, num_hashes=32, bands=8, threshold=0.8
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return cosine_topk(emb, qvec, k=20)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate — no SQL oracle; driver records rows-only
+    from zensearch_spark.operators.similarity import ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann_topk(emb, qvec, k=20, n_planes=8, probe_hamming=1)
+
+
+def _q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.functions.text import stopword_language_score
+
+    return stopword_language_score(_t(spark, sf_dir, "documents"))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.functions.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def _q_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.functions.text import bpe_token_count
+
+    return bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.functions.text import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"), shingle=8)
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.multimodal import as_media_table, decode_meta
+
+    return decode_meta(as_media_table(_t(spark, sf_dir, "documents")))
+
+
+def _q_user_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+def _q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def _q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # props is a JSON string — scalar JSON path extraction
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _q_bm25_topk,
@@ -212,6 +317,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg_events": _q_group_agg_events,
         "tpch_q1_like": _q_tpch_q1_like,
         "tpch_q3_like": _q_tpch_q3_like,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "cosine_topk": _q_cosine_topk,
+        "ann_topk": _q_ann_topk,
+        "lang_stopword": _q_lang_stopword,
+        "quality": _q_quality,
+        "bpe_count": _q_bpe_count,
+        "fingerprints": _q_fingerprints,
+        "multimodal_meta": _q_multimodal_meta,
+        "user_first_event": _q_user_first_event,
+        "rollup_agg": _q_rollup_agg,
+        "json_extract_events": _q_json_extract_events,
     }
 
 
@@ -259,6 +378,121 @@ def _bm25_oracle(query: str, k: int) -> str:
     terms = sorted(set(query.lower().split()))
     quoted = ", ".join(f"'{t}'" for t in terms)
     return _BM25_SQL.format(terms=quoted, k=k)
+
+
+# shared DuckDB CTE fragments ------------------------------------------------
+
+_GRAMS5 = f"""
+toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 5
+              THEN list_distinct([array_to_string(tk[i:i+4], ' ')
+                                  for i in range(1, len(tk) - 3)])
+              ELSE [] END AS gs
+  FROM toks
+),
+eg AS (SELECT doc_id, unnest(gs) AS gram, len(gs) AS sz FROM grams)
+"""
+
+_JACCARD_PAIRS = f"""
+WITH {_GRAMS5},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+  FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa + sb - i), 6) AS jaccard
+FROM inter WHERE round(i * 1.0 / (sa + sb - i), 6) >= 0.8
+"""
+
+_MD5_INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    sig_cols = ",\n         ".join(
+        "min({h}) AS h{i}".format(
+            h=_MD5_INT.format(x="'{}:' || gram".format(i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=bi,
+            concat=" || ',' || ".join(
+                f"h{bi * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+WITH {_GRAMS5},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM eg GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
+         any_value(a.sz) AS sa, any_value(b.sz) AS sb
+  FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b, round(i * 1.0 / (sa + sb - i), 6) AS jaccard
+  FROM inter WHERE round(i * 1.0 / (sa + sb - i), 6) >= 0.8
+)
+SELECT c.doc_a, c.doc_b, p.jaccard
+FROM cand c JOIN pairs p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+"""
+
+
+_SIMHASH_SQL = f"""
+WITH tk AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+h AS (SELECT doc_id, {_MD5_INT.format(x='tok')} AS hv FROM tk),
+votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)::BIGINT
+         AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+_COSINE_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         list_inner_product(v, qv)
+           / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(qv, qv)))
+           AS raw
+  FROM e CROSS JOIN q
+)
+SELECT vec_id, round(raw, 6) AS cosine
+FROM s ORDER BY raw DESC, vec_id ASC LIMIT 20
+"""
+
+_STOPWORDS_SQL_LIST = "['the','a','an','of','and','to','in','is','it','for','on','with','as','at','by','or']"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -337,5 +571,77 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "ngram_jaccard": _JACCARD_PAIRS,
+        "minhash_lsh": _minhash_lsh_sql(),
+        "simhash": _SIMHASH_SQL,
+        "cosine_topk": _COSINE_SQL,
+        # ann_topk: intentionally no oracle (approximate operator)
+        "lang_stopword": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents)
+            SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                   round(len(list_filter(tk, x -> list_contains({_STOPWORDS_SQL_LIST}, x)))
+                         * 1.0 / greatest(len(tk), 1), 6) AS stop_frac,
+                   (round(len(list_filter(tk, x -> list_contains({_STOPWORDS_SQL_LIST}, x)))
+                          * 1.0 / greatest(len(tk), 1), 6) >= 0.02) AS looks_english
+            FROM t
+        """,
+        "quality": f"""
+            WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents)
+            SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+                   len(list_distinct(tk))::BIGINT AS n_distinct,
+                   round(len(list_distinct(tk)) * 1.0 / greatest(len(tk), 1), 6)
+                     AS type_token_ratio,
+                   round(list_sum(list_transform(tk, x -> length(x))) * 1.0
+                         / greatest(len(tk), 1), 6) AS mean_tok_len,
+                   round(least(len(tk) / 100.0, 1.0)
+                         * round(len(list_distinct(tk)) * 1.0 / greatest(len(tk), 1), 6),
+                         6) AS quality
+            FROM t
+        """,
+        "bpe_count": f"""
+            SELECT doc_id, len({_TOK})::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS bpe_tokens
+            FROM documents
+        """,
+        "fingerprints": f"""
+            WITH t AS (SELECT doc_id, text, {_TOK} AS tk FROM documents)
+            SELECT doc_id, md5(text) AS fp,
+                   list_min(list_transform(
+                     range(1, greatest(len(tk) - 7, 1) + 1),
+                     i -> md5(array_to_string(tk[i:i+7], ' ')))) AS min_shingle_fp
+            FROM t
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   (64 + octet_length(encode(text)) % 577)::INT AS fake_width,
+                   (64 + (octet_length(encode(text)) * 31
+                          + CASE WHEN length(text) = 0 THEN 0
+                                 ELSE ascii(substr(text, 1, 1)) END) % 421)::INT
+                     AS fake_height,
+                   (1 + CASE WHEN length(text) = 0 THEN 0
+                             ELSE ascii(substr(text, 1, 1)) END % 24)::INT
+                     AS fake_n_frames
+            FROM documents
+        """,
+        "user_first_event": """
+            SELECT user_id, event_id, ts, event_type FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC) = 1
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "json_extract_events": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k')::BIGINT AS k_val
+            FROM events
         """,
     }

@@ -1,0 +1,97 @@
+"""Text-analysis functions for corpus curation (SURVEY training-data
+ops): stopword-based language scoring, quality features, BPE-ish
+token counting, document fingerprinting. All JVM column expressions —
+each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql()."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from zensearch_spark.functions.tokenizer import with_tokens
+
+EN_STOPWORDS = [
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "or",
+]
+
+# word pieces OR single non-space punctuation — the BPE-ish pre-split
+BPE_REGEX = r"\w+|[^\w\s]"
+
+
+def stopword_language_score(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stop_frac, looks_english) — n-gram-free
+    language-ID heuristic: fraction of tokens in an English stopword
+    list."""
+    toks = with_tokens(text_col)
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(F.array_contains(stop_arr, t), 1).otherwise(0),
+    )
+    n_tokens = F.size(toks)
+    frac = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        frac.alias("stop_frac"),
+        (frac >= 0.02).alias("looks_english"),
+    )
+
+
+def quality_features(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, type_token_ratio, mean_tok_len,
+    quality) — length/diversity-based quality score."""
+    toks = with_tokens(text_col)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    ttr = F.round(n_distinct / F.greatest(n_tokens, F.lit(1)), 6)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tokens, F.lit(1)),
+        6,
+    )
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * ttr, 6
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        ttr.alias("type_token_ratio"),
+        mean_len.alias("mean_tok_len"),
+        quality.alias("quality"),
+    )
+
+
+def bpe_token_count(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace count vs the BPE-ish
+    regex pre-tokenizer count."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(with_tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprints(docs: DataFrame, shingle: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, fp, min_shingle_fp): whole-doc md5 + winnowing-style
+    minimum over ``shingle``-token window hashes (the rolling-hash
+    fingerprint for containment detection)."""
+    toks = with_tokens(text_col)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (shingle - 1), F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle), " ")),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("fp"),
+        F.array_min(windows).alias("min_shingle_fp"),
+    )
