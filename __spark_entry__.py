@@ -302,6 +302,71 @@ def _q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.naive_scorer import quirks_compat_topk
+
+    return quirks_compat_topk(
+        _t(spark, sf_dir, "documents"), FLAGSHIP_QUERY, 50
+    )
+
+
+def _q_presentation_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P10: empty-content guard (reference express-server app/index.ts:27-31)
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit("No description."))
+        .otherwise(F.substring("text", 1, 40))
+        .alias("snippet"),
+    )
+
+
+def _q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7/F8: hostname/path extraction + #fragment strip over a
+    # constructed url column (reference crawler utilities/origin_url.go,
+    # page_navigator.go:133)
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("#frag"),
+    )
+    no_frag = F.substring_index(url, "#", 1)
+    return d.select(
+        "doc_id",
+        no_frag.alias("url_no_fragment"),
+        F.regexp_extract(url, r"^https?://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(no_frag, r"^https?://[^/]+(/.*)$", 1).alias("path"),
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.6: distinct set algebra — customers with orders minus
+    # customers in BUILDING segment, intersected with +acctbal keys
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = orders.select(F.col("o_custkey").alias("key")).distinct()
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("key")
+    )
+    positive = cust.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    return with_orders.exceptAll(building.distinct()).intersect(positive)
+
+
+def _q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # manual pivot (portable CASE-WHEN form) of lineitem status by flag
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 4
+        ).alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 4
+        ).alias("qty_filled"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": _q_bm25_topk,
@@ -331,6 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_first_event": _q_user_first_event,
         "rollup_agg": _q_rollup_agg,
         "json_extract_events": _q_json_extract_events,
+        "bm25_quirks_compat": _q_bm25_quirks,
+        "presentation_guard": _q_presentation_guard,
+        "url_parse": _q_url_parse,
+        "set_ops": _q_set_ops,
+        "pivot_agg": _q_pivot_agg,
     }
 
 
@@ -495,6 +565,50 @@ FROM s ORDER BY raw DESC, vec_id ASC LIMIT 20
 _STOPWORDS_SQL_LIST = "['the','a','an','of','and','to','in','is','it','for','on','with','as','at','by','or']"
 
 
+def _quirks_sql(query: str, k: int) -> str:
+    """Generated oracle for the --quirks-compat scorer: same literal
+    reference-quirk semantics (see operators/naive_scorer.py
+    quirks_compat_topk), term-sorted fold order on both sides."""
+    k1 = 1.5
+    terms = sorted(set(query.lower().split()))
+
+    def tf(t: str) -> str:
+        esc = t.replace("'", "''")
+        return (
+            f"(length(lt) - length(replace(lt, '{esc}', ''))) * 1.0 / {len(t)}"
+        )
+
+    df_cols = ",\n       ".join(
+        f"sum(CASE WHEN {tf(t)} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    idf_sum = " + ".join(
+        f"(CASE WHEN df_{i} > 0 THEN ln(n * 1.0 / df_{i}) ELSE 0.0 END)"
+        for i in range(len(terms))
+    )
+    tfcomp_sum = " + ".join(
+        f"(({tf(t)}) * 2.5 / (({tf(t)}) + 1.5 * (dl * 1.0 / a)))"
+        for t in terms
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS lt, len(string_split(text, ' ')) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(dl) AS a,
+       {df_cols}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, round(({idf_sum}) * ({tfcomp_sum}), 6) AS score
+  FROM base CROSS JOIN stats
+)
+SELECT doc_id, score FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_oracle(FLAGSHIP_QUERY, FLAGSHIP_K),
@@ -643,5 +757,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    json_extract_string(props, '$.k')::BIGINT AS k_val
             FROM events
+        """,
+        "bm25_quirks_compat": _quirks_sql(FLAGSHIP_QUERY, 50),
+        "presentation_guard": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 'No description.'
+                        ELSE substr(text, 1, 40) END AS snippet
+            FROM documents
+        """,
+        "url_parse": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || source || '.example.com/docs/'
+                       || doc_id::VARCHAR || '#frag' AS url
+              FROM documents
+            )
+            SELECT doc_id,
+                   split_part(url, '#', 1) AS url_no_fragment,
+                   regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+                   regexp_extract(split_part(url, '#', 1),
+                                  '^https?://[^/]+(/.*)$', 1) AS path
+            FROM u
+        """,
+        "set_ops": """
+            (SELECT DISTINCT o_custkey AS key FROM orders
+             EXCEPT
+             SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING')
+            INTERSECT
+            SELECT c_custkey AS key FROM customer WHERE c_acctbal > 0
+        """,
+        "pivot_agg": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 4)
+                     AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 4)
+                     AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

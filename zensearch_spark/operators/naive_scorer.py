@@ -128,3 +128,73 @@ def tokenized_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         .withColumn("doc_len", F.size("tokens"))
         .drop("text")
     )
+
+
+def quirks_compat_topk(
+    docs_text: DataFrame,
+    query: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """--quirks-compat scorer: reproduces the reference Go code's
+    literal scoring semantics for A/B comparison (SURVEY.md §2
+    semantics note; NOT the verification target):
+
+    1. k1 = 1.5                      (reference tf.go:10)
+    2. degenerate length norm (1-b+b)*dl/avgdl ≡ dl/avgdl (tf.go:24)
+    3. unsmoothed idf = ln(N/df), df by lowercase SUBSTRING
+       containment (idf.go:17,24)
+    4. tf = lowercase substring occurrence count (tf.go:21)
+    5. score = (Σ_t idf_t) · (Σ_t tfcomp_t) — TF accumulated across
+       terms before the idf product (tf.go:25-26, score.go:77-82)
+
+    Whole-doc substring counting keeps this SQL-expressible:
+    tf(term) = (len(text) - len(replace(text, term))) / len(term).
+    """
+    spark = docs_text.sparkSession
+    k1, b = 1.5, 0.75
+    terms = sorted(set(query.lower().split()))
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double")
+    lower = F.lower(F.col(text_col))
+    dl = F.size(F.split(F.col(text_col), " "))  # spaces+1 (doc_length.go:5-16)
+    base = docs_text.select(
+        F.col(id_col).alias("doc_id"), lower.alias("lt"), dl.alias("dl")
+    )
+    n_docs = base.count()
+    avg_dl = base.agg(F.avg("dl")).collect()[0][0]
+    tf_cols = {
+        t: (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(t))))
+        / len(t)
+        for t in terms
+    }
+    df_per_term = base.select(
+        *[
+            F.sum(F.when(tf_cols[t] > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ]
+    ).collect()[0]
+    idf_sum = 0.0
+    import math
+
+    for i, t in enumerate(terms):
+        dfv = int(df_per_term[f"df_{i}"])
+        if dfv > 0:
+            idf_sum += math.log(n_docs / dfv)
+    tfcomp_sum = None
+    for t in terms:
+        tf = tf_cols[t]
+        comp = (tf * (k1 + 1.0)) / (
+            tf + k1 * (1.0 - b + b) * (F.col("dl") / F.lit(float(avg_dl)))
+        )
+        tfcomp_sum = comp if tfcomp_sum is None else tfcomp_sum + comp
+    return (
+        base.select(
+            "doc_id",
+            F.round(F.lit(idf_sum) * tfcomp_sum, 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -29,6 +29,13 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
         )
+    # Shuffle/scratch on tmpfs when available: this sandbox's virtio
+    # disk is throttled (~100 MB/s with multi-second writeback stalls)
+    # and shuffle spill through it serializes the whole job; RAM-backed
+    # scratch is the local-mode analog of a cluster's node-local NVMe.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
@@ -38,6 +45,7 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
