@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
-    ap.add_argument("--query", required=True)
+    q = ap.add_mutually_exclusive_group(required=True)
+    q.add_argument("--query", help="single query string")
+    q.add_argument("--queries-file",
+                   help="file with one query per line — answered as ONE "
+                        "batched Spark job (the throughput path)")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--naive", action="store_true",
@@ -33,6 +37,24 @@ def main() -> None:
     spark = get_spark(app="zensearch-query", cores=args.cores)
     index = BM25Index(spark, args.index)
     t0 = time.monotonic()
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            batch = [(i, line.strip(), args.k)
+                     for i, line in enumerate(f) if line.strip()]
+        rows = index.topk_batch(batch).collect()
+        wall = time.monotonic() - t0
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                {"doc_id": r["doc_id"], "score": r["score"]})
+        print(json.dumps({
+            "mode": "batch", "k": args.k, "n_queries": len(batch),
+            "wall_sec": round(wall, 3),
+            "queries_per_sec": round(len(batch) / wall, 3),
+            "results": {batch[i][1]: by_q.get(i, []) for i in range(len(batch))},
+        }))
+        spark.stop()
+        return
     if args.hydrate:
         rows = index.topk_hydrated(args.query, args.k).collect()
     elif args.naive:
