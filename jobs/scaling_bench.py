@@ -165,7 +165,9 @@ def main() -> None:
         "query_scaling_efficiency": round(query_eff, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # raw output goes to scaling_latest.md; BENCH/BASELINE.md is the
+    # curated evidence document and is maintained by hand
+    md = os.path.join(REPO, "BENCH", "scaling_latest.md")
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (sandbox proxy)
 
