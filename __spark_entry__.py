@@ -26,6 +26,11 @@ from zensearch_spark.operators.naive_scorer import naive_topk, tokenized_docs  #
 
 FLAGSHIP_QUERY = "spark vector hash stream"
 FLAGSHIP_K = 100
+# hot-gram guard for the exact n-gram dedup entry — mirrored in the
+# DuckDB oracle below, so the correctness check is exact at ANY cap.
+# (testdata max gram df is 4, so results equal the uncapped classic
+# Jaccard here; at 100 TB the cap bounds the d² gram self-join.)
+MAX_GRAM_DF = 32
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -206,7 +211,9 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=5, threshold=0.8)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.8, max_gram_df=MAX_GRAM_DF
+    )
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # ------------------------------------------------------------ oracles
 
-_TOK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+# whitespace-RUN split, matching the Spark hot path's \s+ regex split
+# (Java \s ≈ RE2 \s = [ \t\n\f\r]; Java additionally includes \x0B —
+# none of these corpora carry vertical tabs) and the Python oracle's
+# str.split(). Plain string_split(text, ' ') would silently diverge on
+# any tab/newline-bearing corpus.
+_TOK = r"list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')"
 
 _BM25_SQL = f"""
 WITH dl AS (
@@ -452,41 +464,79 @@ def _bm25_oracle(query: str, k: int) -> str:
 
 # shared DuckDB CTE fragments ------------------------------------------------
 
-_GRAMS5 = f"""
+_MD5_INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_MD5_INT_AT = "('0x' || substr({x}, {s}, 15))::BIGINT"
+
+# gram keys mirrored from dedup._gram_key_rows: one md5 per token,
+# hex split into two 60-bit halves mod P, rolling polynomial per
+# n-gram, key = poly1*P + poly2 -- the EXACT integer algebra the Spark
+# plan runs, so any hash collision affects both engines identically.
+def _grams_cte(n: int = 5) -> str:
+    from zensearch_spark.operators.dedup import GRAM_C1, GRAM_C2, MINHASH_P
+
+    def poly(col: str, c: int) -> str:
+        acc = f"{col}[i]"
+        for j in range(1, n):
+            acc = f"(({acc}) * {c} + {col}[i+{j}]) % {MINHASH_P}"
+        return acc
+
+    key = f"({poly('h1', GRAM_C1)}) * {MINHASH_P} + ({poly('h2', GRAM_C2)})"
+    return f"""
 toks AS (SELECT doc_id, {_TOK} AS tk FROM documents),
-grams AS (
+mh AS (SELECT doc_id, list_transform(tk, t -> md5(t)) AS mh FROM toks),
+hs AS (
   SELECT doc_id,
-         CASE WHEN len(tk) >= 5
-              THEN list_distinct([array_to_string(tk[i:i+4], ' ')
-                                  for i in range(1, len(tk) - 3)])
-              ELSE [] END AS gs
-  FROM toks
+         list_transform(mh, h -> {_MD5_INT_AT.format(x='h', s=1)} % {MINHASH_P}) AS h1,
+         list_transform(mh, h -> {_MD5_INT_AT.format(x='h', s=16)} % {MINHASH_P}) AS h2
+  FROM mh
 ),
-eg AS (SELECT doc_id, unnest(gs) AS gram, len(gs) AS sz FROM grams)
+hg AS (
+  SELECT doc_id,
+         CASE WHEN len(h1) >= {n}
+              THEN list_distinct([{key} for i in range(1, len(h1) - {n - 2})])
+              ELSE [] END AS gks
+  FROM hs
+),
+eg AS (SELECT doc_id, unnest(gks) AS gk FROM hg)
 """
 
-_JACCARD_PAIRS = f"""
+
+_GRAMS5 = _grams_cte(5)
+
+
+def _jaccard_pairs_sql(max_gram_df: int) -> str:
+    """Mirror of dedup.ngram_jaccard_pairs(max_gram_df=...): grams
+    with df > cap leave the gram universe (intersections AND sizes)."""
+    return f"""
 WITH {_GRAMS5},
+gdf AS (SELECT gk, count(*) AS gdf FROM eg GROUP BY gk),
+keep AS (SELECT eg.doc_id, eg.gk FROM eg JOIN gdf USING (gk)
+         WHERE gdf <= {max_gram_df}),
+sz AS (SELECT doc_id, count(*) AS sz FROM keep GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
-         any_value(a.sz) AS sa, any_value(b.sz) AS sb
-  FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM keep a JOIN keep b ON a.gk = b.gk AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, round(i * 1.0 / (sa + sb - i), 6) AS jaccard
-FROM inter WHERE round(i * 1.0 / (sa + sb - i), 6) >= 0.8
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_a = sa.doc_id
+JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.8
 """
-
-_MD5_INT = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 def _minhash_lsh_sql(num_hashes: int = 32, bands: int = 8) -> str:
+    """Mirror of dedup.minhash_lsh_pairs: universal-hash signatures
+    over the md5 gram keys, banding, candidate pairs, exact Jaccard
+    restricted to candidates (same constants via minhash_coeffs)."""
+    from zensearch_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     rows = num_hashes // bands
     sig_cols = ",\n         ".join(
-        "min({h}) AS h{i}".format(
-            h=_MD5_INT.format(x="'{}:' || gram".format(i)), i=i
-        )
-        for i in range(num_hashes)
+        f"min(((gk % {MINHASH_P}) * {a} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
@@ -513,17 +563,18 @@ cand AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i,
-         any_value(a.sz) AS sa, any_value(b.sz) AS sb
-  FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN eg a ON a.doc_id = c.doc_a
+  JOIN eg b ON b.doc_id = c.doc_b AND b.gk = a.gk
   GROUP BY 1, 2
 ),
-pairs AS (
-  SELECT doc_a, doc_b, round(i * 1.0 / (sa + sb - i), 6) AS jaccard
-  FROM inter WHERE round(i * 1.0 / (sa + sb - i), 6) >= 0.8
-)
-SELECT c.doc_a, c.doc_b, p.jaccard
-FROM cand c JOIN pairs p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+sz AS (SELECT doc_id, len(gks) AS sz FROM hg)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON inter.doc_a = sa.doc_id
+JOIN sz sb ON inter.doc_b = sb.doc_id
+WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.8
 """
 
 
@@ -568,9 +619,12 @@ _STOPWORDS_SQL_LIST = "['the','a','an','of','and','to','in','is','it','for','on'
 def _quirks_sql(query: str, k: int) -> str:
     """Generated oracle for the --quirks-compat scorer: same literal
     reference-quirk semantics (see operators/naive_scorer.py
-    quirks_compat_topk), term-sorted fold order on both sides."""
-    k1 = 1.5
-    terms = sorted(set(query.lower().split()))
+    quirks_compat_topk — leaky space-keeping tokens, whole (tf+k1)
+    scaled by dl/avgdl per reference tf.go:23-26, query-order fold on
+    both sides)."""
+    from zensearch_spark.operators.naive_scorer import leaky_tokenize
+
+    terms = [t.lower() for t in leaky_tokenize(query)]
 
     def tf(t: str) -> str:
         esc = t.replace("'", "''")
@@ -586,8 +640,9 @@ def _quirks_sql(query: str, k: int) -> str:
         f"(CASE WHEN df_{i} > 0 THEN ln(n * 1.0 / df_{i}) ELSE 0.0 END)"
         for i in range(len(terms))
     )
+    # numerator tf·(k1+1)=tf·2.5; denominator (tf+k1)·(1-b+b)·(dl/avgdl)
     tfcomp_sum = " + ".join(
-        f"(({tf(t)}) * 2.5 / (({tf(t)}) + 1.5 * (dl * 1.0 / a)))"
+        f"(({tf(t)}) * 2.5 / ((({tf(t)}) + 1.5) * (dl * 1.0 / a)))"
         for t in terms
     )
     return f"""
@@ -690,7 +745,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text)
         """,
-        "ngram_jaccard": _JACCARD_PAIRS,
+        "ngram_jaccard": _jaccard_pairs_sql(MAX_GRAM_DF),
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
@@ -730,6 +785,13 @@ def oracle_sql() -> dict[str, str]:
                      i -> md5(array_to_string(tk[i:i+7], ' ')))) AS min_shingle_fp
             FROM t
         """,
+        # NOTE oracle assumption: head byte is derived via
+        # ascii(substr(text,1,1)) — the first CHARACTER's codepoint —
+        # while the Spark path uses the first UTF-8 BYTE of the binary
+        # payload. Identical for ASCII corpora (all driver testdata);
+        # a corpus with non-ASCII leading characters would need a
+        # byte-level SQL accessor here. Documented per SURVEY §2 parity
+        # rules rather than papered over.
         "multimodal_meta": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text))::BIGINT AS n_bytes,

@@ -9,8 +9,14 @@ content hash — uniformly distributed, no skew salting needed.
 
 Hash parity note: md5-derived 60-bit integers are used everywhere a
 DuckDB oracle must reproduce the value (md5 is the one hash both
-engines share). A production variant would swap in xxhash64/F.hash —
-same plans, cheaper hashing.
+engines share). n-grams are md5-hashed ONCE into long keys and all
+joins/aggregations run over those longs — one md5 per gram instead of
+per (hash_i, gram) pair, and long shuffle keys instead of ~30-char
+strings (measured 2-4x on the sf0.1 bench). MinHash signatures come
+from 2-universal hashing ((gk % P)·a_i + b_i) mod P over the gram
+key, P = 2^31-1 — plain integer algebra both engines evaluate
+identically (no overflow: operands < 2^31). A production variant
+would swap md5 for xxhash64 — same plans, cheaper hashing.
 """
 
 from __future__ import annotations
@@ -19,6 +25,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from zensearch_spark.functions.tokenizer import with_tokens
+
+# 2-universal MinHash modulus (Mersenne prime 2^31-1): (gk % P) and the
+# coefficients are both < 2^31, so (gk % P)*a + b < 2^62 — no BIGINT
+# overflow in either Spark or DuckDB.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the universal-hash MinHash —
+    shared by the Spark plan and the DuckDB oracle generator
+    (__spark_entry__._minhash_lsh_sql) so both engines compute
+    identical signatures."""
+    out = []
+    x = 88172645463325252  # xorshift64 seed (any fixed nonzero value)
+    for _ in range(num_hashes):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        a = (x % (MINHASH_P - 1)) + 1  # a ∈ [1, P-1]
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        b = x % MINHASH_P  # b ∈ [0, P-1]
+        out.append((a, b))
+    return out
+
 
 # md5-hex prefix → signed-safe 60-bit int (matches DuckDB
 # ('0x'||substr(md5(x),1,15))::BIGINT )
@@ -43,6 +75,81 @@ def with_word_ngrams(docs: DataFrame, n: int = 5, text_col: str = "text") -> Dat
     return docs.withColumn("ngrams", grams)
 
 
+# rolling-polynomial multipliers for the two independent gram-key
+# halves (any fixed odd constants < 2^21 keep every intermediate
+# product under 2^52 — overflow-free in both engines)
+GRAM_C1 = 1000003
+GRAM_C2 = 999983
+
+
+def _gram_key_rows(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, gk long): one row per (doc, distinct gram key).
+
+    Gram key = 62-bit integer from the md5 of each token: the md5 hex
+    is split into two independent 60-bit halves (chars 1-15 / 16-30),
+    each reduced mod P=2^31-1, and each n-gram's key is
+    poly_C1(h1[i..i+n)) · P + poly_C2(h2[i..i+n)) where poly_C is a
+    rolling polynomial mod P. This replaces the naive
+    build-the-gram-string-then-md5 shape (measured 6x slower: the
+    array_join string churn + one md5 per GRAM dominates) while
+    keeping a 62-bit key space (two 31-bit polys must BOTH collide),
+    and every step is plain integer algebra the DuckDB oracle
+    reproduces digit-for-digit — a collision affects both engines
+    identically. array_distinct runs on the hashed keys, mirrored.
+
+    PLAN SHAPE CONSTRAINT (hard-won): the gram-key array column must
+    be consumed by EXACTLY ONE expression (the explode). A second
+    reference — even F.size on the bound column — makes Catalyst
+    inline the whole nested transform into each reference and then
+    into every element_at, re-evaluating the token-hash arrays per
+    gram position (measured 0.7 s → 190 s at sf0.1). Set sizes are
+    therefore recovered AFTER the explode (window count in
+    _with_set_size), never from the array.
+    """
+    toks = with_tokens(text_col)
+
+    def half(start: int):
+        return F.transform(
+            toks,
+            lambda x: F.conv(F.substring(F.md5(x), start, 15), 16, 10).cast("long")
+            % MINHASH_P,
+        )
+
+    bound = docs.select(
+        F.col(id_col).alias("doc"), half(1).alias("th1"), half(16).alias("th2")
+    )
+
+    def poly(col_name: str, c: int, i):
+        acc = F.element_at(F.col(col_name), i)
+        for j in range(1, n):
+            acc = (acc * c + F.element_at(F.col(col_name), i + j)) % MINHASH_P
+        return acc
+
+    gram_keys = F.when(
+        F.size("th1") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("th1") - (n - 1)),
+                lambda i: poly("th1", GRAM_C1, i) * F.lit(MINHASH_P)
+                + poly("th2", GRAM_C2, i),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return bound.select("doc", F.explode(gram_keys).alias("gk"))
+
+
+def _with_set_size(eg: DataFrame) -> DataFrame:
+    """eg + ``set_size`` = |gram set| per doc, via a window count over
+    the exploded rows (docs with zero grams have no rows and no pairs,
+    so their absence is correct). See _gram_key_rows for why this is
+    NOT F.size on the gram array."""
+    from pyspark.sql import Window
+
+    return eg.withColumn("set_size", F.count("*").over(Window.partitionBy("doc")))
+
+
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: one surviving (minimum) id per
     distinct text + the group size. Shuffle key = md5 — uniform."""
@@ -59,26 +166,40 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def ngram_jaccard_pairs(
     docs: DataFrame, n: int = 5, threshold: float = 0.8,
     id_col: str = "doc_id", text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact word-n-gram Jaccard ≥ threshold.
 
-    Plan: ngram sets → explode → self-equi-join on ngram (the classic
-    candidate generation; at scale the join key is a gram hash and
-    Catalyst's AQE handles stragglers) → per-pair intersection count →
-    Jaccard. Exact — the MinHash variant below is the approximate
-    scale path.
+    Plan: gram-key rows → self-equi-join on the 60-bit gram key →
+    per-pair intersection count → Jaccard. Exact — the MinHash variant
+    below is the approximate scale path.
+
+    ``max_gram_df`` is the hot-gram guard: a gram appearing in d docs
+    emits d²/2 join rows, so one boilerplate gram shared by 10^5 docs
+    would dominate the whole shuffle at scale. When set, grams with
+    document frequency > max_gram_df are dropped from the gram
+    UNIVERSE (both intersections and set sizes — self-consistent
+    Jaccard over the informative grams; rare grams decide near-dups,
+    standard frequency/prefix filtering). The driver entry mirrors the
+    cap in its DuckDB oracle, so correctness checks stay exact at any
+    setting. None = no cap (exact classic Jaccard).
     """
-    grams = (
-        with_word_ngrams(docs.select(id_col, text_col), n=n, text_col=text_col)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.size("ngrams").alias("set_size"),
-            F.explode("ngrams").alias("gram"),
-        )
-    )
-    a, b = grams.alias("a"), grams.alias("b")
+    from pyspark.sql import Window
+
+    eg = _gram_key_rows(docs, n, id_col, text_col)
+    if max_gram_df is not None:
+        # window count instead of groupBy+join-back: the gram
+        # generation subtree is evaluated ONCE in a linear pipeline
+        # (a join-back shape re-runs it per branch — measured 3x on
+        # the sf0.1 bench). Sizes are recomputed over the FILTERED
+        # universe so Jaccard stays self-consistent.
+        eg = eg.withColumn(
+            "gdf", F.count("*").over(Window.partitionBy("gk"))
+        ).filter(F.col("gdf") <= max_gram_df).drop("gdf")
+    eg = _with_set_size(eg)
+    a, b = eg.alias("a"), eg.alias("b")
     pairs = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.gk") == F.col("b.gk")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(
             F.count("*").alias("inter"),
@@ -104,16 +225,19 @@ def minhash_signatures(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """(doc_id, sig array<long>[num_hashes]) MinHash over word-n-gram
-    sets; hash_i(gram) = md5_int(i ':' gram)."""
-    grams = (
-        with_word_ngrams(docs.select(id_col, text_col), n=n, text_col=text_col)
-        .select(F.col(id_col).alias("doc_id"), F.explode("ngrams").alias("gram"))
-    )
+    sets; hash_i(gram) = ((md5_int(gram) % P)·a_i + b_i) % P."""
+    eg = _gram_key_rows(docs, n, id_col, text_col)
+    return _signatures_from_rows(eg, num_hashes)
+
+
+def _signatures_from_rows(eg: DataFrame, num_hashes: int) -> DataFrame:
+    """Signatures from an existing (doc, gk) gram-key row table."""
+    gm = F.col("gk") % MINHASH_P
     aggs = [
-        F.min(_md5_int(F.concat_ws(":", F.lit(str(i)), F.col("gram")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((gm * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = grams.groupBy("doc_id").agg(*aggs)
+    sig = eg.withColumnRenamed("doc", "doc_id").groupBy("doc_id").agg(*aggs)
     return sig.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -122,13 +246,27 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 5, num_hashes: int = 32, bands: int = 8,
     threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified by exact
-    n-gram Jaccard ≥ threshold. shingle → minhash → band → bucket-join
-    → verify (SURVEY training-data ops)."""
+    n-gram Jaccard ≥ threshold — but the exact verification runs over
+    CANDIDATE PAIRS ONLY (the whole point of LSH): candidate docs'
+    gram rows are joined through the candidate pair list, so the
+    verify cost is O(Σ_cand_pairs |grams|) instead of the all-pairs
+    O(d²) self-join over the full corpus.
+
+    shingle → minhash → band → bucket-join → candidate-only verify
+    (SURVEY training-data ops). ``max_bucket_size`` caps candidate
+    generation for 100 TB runs: a band bucket holding d docs emits
+    d²/2 candidate pairs, so a degenerate bucket (e.g. empty-ish docs
+    sharing one signature) is dropped entirely when it exceeds the
+    cap — near-dup groups that large are better handled by
+    exact_dedup first. None (default) = no cap, which keeps the
+    operator byte-identical to its DuckDB oracle.
+    """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, n=n, num_hashes=num_hashes,
-                             id_col=id_col, text_col=text_col)
+    eg = _gram_key_rows(docs, n, id_col, text_col)
+    sig = _signatures_from_rows(eg, num_hashes)
     band_cols = F.array(
         *[
             F.struct(
@@ -145,6 +283,13 @@ def minhash_lsh_pairs(
     banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > max_bucket_size)
+        )
+        banded = banded.join(big, ["band", "bucket"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -158,9 +303,40 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=threshold,
-                                id_col=id_col, text_col=text_col)
-    return cand.join(exact, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+    # ---- candidate-only exact verification --------------------------------
+    # route each candidate pair through the gram-key rows of its two
+    # docs: |output| = Σ_pairs |grams(doc_a)| at the first join, then
+    # the (doc_b, gk) equi-join keeps only shared grams. No full-corpus
+    # all-pairs join anywhere. Set sizes ride along on the gram rows —
+    # no extra pass over the gram generation subtree.
+    egs = _with_set_size(eg)
+    ga = egs.select(
+        F.col("doc").alias("doc_a"), "gk", F.col("set_size").alias("size_a")
+    )
+    gb = egs.select(
+        F.col("doc").alias("doc_b"), "gk", F.col("set_size").alias("size_b")
+    )
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gk"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("size_a").alias("size_a"),
+            F.first("size_b").alias("size_b"),
+        )
+    )
+    return (
+        inter
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash_fingerprints(
@@ -169,40 +345,26 @@ def simhash_fingerprints(
     """(doc_id, simhash long): token-frequency-weighted SimHash.
 
     Per token occurrence, md5-int hash; bit j votes +1 if set else −1;
-    fingerprint bit j = 1 iff the vote sum > 0. Pure column algebra —
-    tokens × bits rows, all JVM."""
+    fingerprint bit j = 1 iff the vote sum > 0. One pass over the
+    token rows: the per-bit votes are ``bits`` aggregation columns
+    over the SAME rows (map-side partial agg) instead of a
+    tokens × bits row explosion (the round-1 shape — a 32× shuffle
+    blowup for identical output)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(with_tokens(text_col)).alias("tok")
     ).withColumn("h", _md5_int(F.col("tok")))
-    # bit positions expanded as plan-time literals (shiftright needs a
-    # literal shift; weight 2^bit rides along to avoid a variable shift
-    # at aggregation time)
-    bit_structs = F.array(
+    votes = toks.groupBy("doc_id").agg(
         *[
-            F.struct(
-                F.lit(j).alias("bit"),
-                (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias("vote"),
-                F.lit(1 << j).cast("long").alias("weight"),
-            )
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{j}")
             for j in range(bits)
         ]
     )
-    votes = (
-        toks.select("doc_id", F.explode(bit_structs).alias("bv"))
-        .select(
-            "doc_id",
-            F.col("bv.bit").alias("bit"),
-            F.col("bv.vote").alias("vote"),
-            F.col("bv.weight").alias("weight"),
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .groupBy("doc_id", "bit", "weight")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("v") > 0, F.col("weight")).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.alias("simhash"))

@@ -73,6 +73,7 @@ def assign_doc_ids(
         .drop("_pid", "_offset")
     )
     out._zs_pinned = keyed  # noqa: SLF001 — handle for unpersist_intermediates
+    out._zs_total = acc  # noqa: SLF001 — expected row count (invariant check)
     return out
 
 

@@ -130,6 +130,23 @@ def tokenized_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def leaky_tokenize(query: str) -> list[str]:
+    """The reference's query tokenizer, leak included (reference
+    score.go:98-116): the split index is not advanced past the space
+    (``cur = read``), so every token after the first keeps its leading
+    space — "a b c" → ["a", " b", " c"]; consecutive spaces yield a
+    bare " " token. No lowercasing here (the reference lowercases at
+    compare time, tf.go:21 / idf.go:24) and no deduplication (each
+    token accumulates separately, score.go:77-82)."""
+    out, cur = [], 0
+    for read in range(len(query)):
+        if query[read] == " ":
+            out.append(query[cur:read])
+            cur = read
+    out.append(query[cur:])
+    return out
+
+
 def quirks_compat_topk(
     docs_text: DataFrame,
     query: str,
@@ -142,19 +159,33 @@ def quirks_compat_topk(
     semantics note; NOT the verification target):
 
     1. k1 = 1.5                      (reference tf.go:10)
-    2. degenerate length norm (1-b+b)*dl/avgdl ≡ dl/avgdl (tf.go:24)
+    2. the WHOLE (tf+k1) is scaled by the degenerate length norm:
+       denominator = (tf + k1) · ((1-b+b)·(dl/avgdl)) ≡
+       (tf + k1) · (dl/avgdl)        (tf.go:23-26)
     3. unsmoothed idf = ln(N/df), df by lowercase SUBSTRING
        containment (idf.go:17,24)
-    4. tf = lowercase substring occurrence count (tf.go:21)
+    4. tf = lowercase substring occurrence count (tf.go:21),
+       INCLUDING quirk 4b: the query tokenizer leaks leading spaces
+       into every token after the first (score.go:104-106,
+       leaky_tokenize above), so the substrings counted are e.g.
+       " vector" not "vector"
     5. score = (Σ_t idf_t) · (Σ_t tfcomp_t) — TF accumulated across
-       terms before the idf product (tf.go:25-26, score.go:77-82)
+       tokens (in query order, duplicates included) before the idf
+       product (tf.go:25-26, score.go:77-82)
 
     Whole-doc substring counting keeps this SQL-expressible:
     tf(term) = (len(text) - len(replace(text, term))) / len(term).
+    Not reproduced: a query with leading/double spaces yields ""/" "
+    tokens whose Go strings.Count semantics (count of empty string =
+    rune count + 1) have no cheap SQL twin — such tokens are rejected.
     """
     spark = docs_text.sparkSession
     k1, b = 1.5, 0.75
-    terms = sorted(set(query.lower().split()))
+    terms = [t.lower() for t in leaky_tokenize(query)]
+    assert all(t.strip() for t in terms), (
+        "quirks mode does not support empty/whitespace-only tokens "
+        "(docstring: strings.Count('', …) semantics)"
+    )
     if not terms:
         return spark.createDataFrame([], "doc_id long, score double")
     lower = F.lower(F.col(text_col))
@@ -164,14 +195,14 @@ def quirks_compat_topk(
     )
     n_docs = base.count()
     avg_dl = base.agg(F.avg("dl")).collect()[0][0]
-    tf_cols = {
+    tf_of = {
         t: (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(t))))
         / len(t)
-        for t in terms
+        for t in set(terms)
     }
     df_per_term = base.select(
         *[
-            F.sum(F.when(tf_cols[t] > 0, 1).otherwise(0)).alias(f"df_{i}")
+            F.sum(F.when(tf_of[t] > 0, 1).otherwise(0)).alias(f"df_{i}")
             for i, t in enumerate(terms)
         ]
     ).collect()[0]
@@ -183,10 +214,10 @@ def quirks_compat_topk(
         if dfv > 0:
             idf_sum += math.log(n_docs / dfv)
     tfcomp_sum = None
-    for t in terms:
-        tf = tf_cols[t]
+    for t in terms:  # query order — the reference's accumulation order
+        tf = tf_of[t]
         comp = (tf * (k1 + 1.0)) / (
-            tf + k1 * (1.0 - b + b) * (F.col("dl") / F.lit(float(avg_dl)))
+            (tf + k1) * (1.0 - b + b) * (F.col("dl") / F.lit(float(avg_dl)))
         )
         tfcomp_sum = comp if tfcomp_sum is None else tfcomp_sum + comp
     return (

@@ -159,6 +159,32 @@ def _make_partition_encoder(avgdl: float, block_size: int):
     return encode_partition
 
 
+def _parquet_footer_stats(path: str, col: str) -> tuple[int, int | None, int | None]:
+    """(total_rows, min, max) of ``col`` over every parquet file under
+    ``path`` — footer metadata only, zero data pages read."""
+    import pyarrow.parquet as pq
+
+    n, lo, hi = 0, None, None
+    for root, _dirs, files in os.walk(path):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, fname)).metadata
+            n += md.num_rows
+            try:
+                ci = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ].index(col)
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    return n, lo, hi
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -179,12 +205,32 @@ def build_index(
     def build_doc_map(tmp: str) -> dict:
         stamped = assign_doc_ids(corpus)
         out = stamped.withColumn("doc_len", F.size(with_tokens("text")))
-        # already range-ordered by (conv_id, turn_idx) ≡ doc_id order up
-        # to the pid-hash of the stamping window — good enough locality;
-        # a second range shuffle here would double the stage cost
-        out.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp)
+        # rows leave the stamping window already sorted by key within
+        # each range partition, i.e. by doc_id — no extra sort needed
+        # (an explicit sortWithinPartitions here was measured as pure
+        # overhead and removed; locality is identical)
+        out.write.mode("overwrite").parquet(tmp)
+        expected = getattr(stamped, "_zs_total", None)
         unpersist_intermediates(stamped)
-        return {}
+        # cheap post-write invariant (ADVICE round 1): if the persisted
+        # range-partitioned intermediate had been evicted+recomputed
+        # between the count pass and the stamp pass, resampled range
+        # boundaries would shift ids — (count, min, max) must describe
+        # the dense 0..N-1 rank or the build aborts instead of silently
+        # emitting wrong ids. Read from parquet footers directly (no
+        # scan; also immune to Spark's hidden-path filter on the
+        # dot-prefixed stage temp dir).
+        n, lo, hi = _parquet_footer_stats(tmp, "doc_id")
+        if expected is not None and n != int(expected):
+            raise RuntimeError(
+                f"doc_map row drift: stamped {n} rows, offset pass saw "
+                f"{expected} — range intermediate was recomputed"
+            )
+        if n and (lo != 0 or hi != n - 1):
+            raise RuntimeError(
+                f"doc_map ids not dense 0..{n - 1}: min={lo} max={hi}"
+            )
+        return {"n_docs": n}
 
     r1 = runner.run(
         "doc_map",

@@ -56,6 +56,18 @@ def stream_ingest_postings(
     )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # Idempotence under micro-batch REPLAY (crash between the side
+        # effects below and the streaming checkpoint commit → Spark
+        # re-delivers the same batch_id): already-counted batches are
+        # skipped via last_batch_id, and deltas land in a per-batch_id
+        # directory written with overwrite, so a half-written replay
+        # rewrites the same files instead of double-appending.
+        prev = {"n_docs": 0, "total_len": 0, "batches": 0, "last_batch_id": -1}
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                prev = {**prev, **json.load(f)}
+        if batch_id <= prev["last_batch_id"]:
+            return
         toks = batch.withColumn("tokens", with_tokens("text")).withColumn(
             "doc_len", F.size("tokens")
         )
@@ -67,18 +79,17 @@ def stream_ingest_postings(
             .groupBy("term", "conv_id", "turn_idx")
             .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
         )
-        postings.write.mode("append").parquet(deltas_dir)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(deltas_dir, f"batch_id={batch_id}")
+        )
         row = toks.agg(
             F.count("*").alias("n"), F.sum("doc_len").alias("total_len")
         ).collect()[0]
-        prev = {"n_docs": 0, "total_len": 0, "batches": 0}
-        if os.path.exists(stats_path):
-            with open(stats_path) as f:
-                prev = json.load(f)
         new = {
             "n_docs": prev["n_docs"] + int(row["n"] or 0),
             "total_len": prev["total_len"] + int(row["total_len"] or 0),
             "batches": prev["batches"] + 1,
+            "last_batch_id": batch_id,
         }
         new["avgdl"] = new["total_len"] / new["n_docs"] if new["n_docs"] else 0.0
         with open(stats_path + ".tmp", "w") as f:
