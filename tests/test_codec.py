@@ -42,20 +42,29 @@ def test_block_roundtrip(gaps, n):
     dls = rng.integers(1, 2000, size=n).astype(np.int64)
     avgdl, idf = 40.0, 3.21
     blocks = encode_blocks(docs, tfs, dls, idf=idf, avgdl=avgdl)
-    got_docs, got_tfs, got_dls = [], [], []
+    got_docs, got_tfs = [], []
+    pos = 0
     for blk in blocks:
-        d, t, l = decode_block(
-            blk["first_doc"], blk["doc_bytes"], blk["tf_bytes"], blk["dl_bytes"]
-        )
-        assert len(d) == blk["n"] == len(t) == len(l)
+        d, t = decode_block(blk["first_doc"], blk["doc_bytes"], blk["tf_bytes"])
+        assert len(d) == blk["n"] == len(t)
         assert d[0] == blk["first_doc"] and d[-1] == blk["last_doc"]
+        l = dls[pos: pos + blk["n"]]
+        pos += blk["n"]
         # per-block max_score is the exact max BM25 contribution
         exact = idf * bm25_tf_component(t, l, avgdl)
         assert blk["max_score"] == pytest.approx(exact.max(), abs=0, rel=0)
-        got_docs.append(d); got_tfs.append(t); got_dls.append(l)
+        # stats-independent bound ingredients: valid upper bound for
+        # ANY avgdl because tfcomp is monotone ↑ tf, ↓ dl
+        assert blk["max_tf"] == t.max() and blk["min_dl"] == l.min()
+        for any_avgdl in (10.0, 40.0, 400.0):
+            dyn = idf * bm25_tf_component(
+                np.array([blk["max_tf"]]), np.array([blk["min_dl"]]), any_avgdl
+            )[0]
+            true_max = (idf * bm25_tf_component(t, l, any_avgdl)).max()
+            assert dyn >= true_max - 1e-12
+        got_docs.append(d); got_tfs.append(t)
     assert np.array_equal(np.concatenate(got_docs), docs)
     assert np.array_equal(np.concatenate(got_tfs), tfs)
-    assert np.array_equal(np.concatenate(got_dls), dls)
 
 
 def test_empty_posting_list():
@@ -126,8 +135,28 @@ def test_encode_sorted_runs_equals_per_list_encoder():
             assert enc["first_doc"][i] == b["first_doc"]
             assert enc["last_doc"][i] == b["last_doc"]
             assert enc["max_score"][i] == b["max_score"]
+            assert enc["max_tf"][i] == b["max_tf"]
+            assert enc["min_dl"][i] == b["min_dl"]
             assert enc["doc_bytes"][i] == b["doc_bytes"]
             assert enc["tf_bytes"][i] == b["tf_bytes"]
-            assert enc["dl_bytes"][i] == b["dl_bytes"]
             i += 1
     assert i == len(rb)
+
+
+def test_dl_sidecar_roundtrip():
+    from zensearch_spark.functions.codec import decode_dl_chunk, encode_dl_chunks
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 8191, 8192, 8193, 30_000):
+        base = 1_000_000
+        docs = np.arange(base, base + n, dtype=np.int64)
+        dls = rng.integers(1, 5000, size=n).astype(np.int64)
+        rows = encode_dl_chunks(docs, dls)
+        got = np.zeros(n, np.int64)
+        for r in rows:
+            off = r["first_doc"] - base
+            got[off: off + r["n"]] = decode_dl_chunk(r["dl_bytes"])
+        assert np.array_equal(got, dls)
+    # non-dense ranges must be rejected loudly
+    with pytest.raises(ValueError):
+        encode_dl_chunks(np.array([1, 3], np.int64), np.array([5, 6], np.int64))

@@ -1,0 +1,122 @@
+"""Delta compaction (plans/compaction.py): the crawl-while-serving
+property — build at N docs, stream +M, compact, and queries must be
+rank-identical to a from-scratch build at N+M.
+
+Corpus B is the deterministic continuation of corpus A (conv indices
+120..159 of the same seed), so the from-scratch comparison corpus is
+literally generate(160). Comparison is on natural keys
+(conv_id, turn_idx) — internal doc_ids may differ (compaction aligns
+new ids to a stride boundary), which is exactly why hydration exists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_bm25 import reference_query_set
+from zensearch_spark.plans.compaction import compact_index
+from zensearch_spark.plans.index_build import build_index
+from zensearch_spark.plans.query_plan import BM25Index
+from zensearch_spark.sources.corpus import _gen_convs
+
+N_A, N_B = 120, 40
+QIDS = [0, 3, 9, 16, 33]
+
+
+@pytest.fixture(scope="module")
+def compacted(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("compact")
+    corpus_a = spark.createDataFrame(_gen_convs(np.arange(N_A), seed=42))
+    root = str(base / "idx")
+    build_index(spark, corpus_a, root, corpus_id="compact-A",
+                n_salt_ranges=6, n_term_buckets=8)
+
+    # stream corpus B into a landing dir, ingest, compact
+    landing = str(base / "landing")
+    corpus_b = spark.createDataFrame(_gen_convs(np.arange(N_A, N_A + N_B), seed=42))
+    corpus_b.write.mode("overwrite").parquet(landing)
+    from zensearch_spark.streaming.ingest import stream_ingest_postings
+
+    ingest_out = str(base / "ingest")
+    stats = stream_ingest_postings(spark, landing, ingest_out)
+    assert stats["n_docs"] > 0
+    res = compact_index(spark, root, landing, f"{ingest_out}/postings_delta")
+    assert res["added"] == stats["n_docs"]
+
+    # from-scratch reference over A ∪ B
+    root_full = str(base / "idx_full")
+    corpus_ab = spark.createDataFrame(_gen_convs(np.arange(N_A + N_B), seed=42))
+    build_index(spark, corpus_ab, root_full, corpus_id="compact-AB",
+                n_salt_ranges=6, n_term_buckets=8)
+    return (
+        BM25Index(spark, root),
+        BM25Index(spark, root_full),
+        root, landing, ingest_out, res,
+    )
+
+
+def _hydrated(index: BM25Index, query: str, k: int) -> list[tuple]:
+    """[(conv_id, turn_idx, score)] in rank order, via doc_map join."""
+    top = index.topk(query, k)
+    dm = index.spark.read.parquet(*index.paths.doc_map_paths()).select(
+        "doc_id", "conv_id", "turn_idx"
+    )
+    rows = (
+        top.join(dm, "doc_id")
+        .orderBy(F.desc("score"), F.asc("conv_id"), F.asc("turn_idx"))
+        .collect()
+    )
+    return [(r["conv_id"], r["turn_idx"], round(r["score"], 9)) for r in rows]
+
+
+def test_stats_match_from_scratch(compacted):
+    inc, full, *_ = compacted
+    assert inc.stats["n_docs"] == full.stats["n_docs"]
+    assert inc.stats["avgdl"] == pytest.approx(full.stats["avgdl"], rel=1e-12)
+    assert inc.stats["bounds_exact"] is False
+    assert full.stats["bounds_exact"] is True
+
+
+def test_queries_rank_identical_to_full_rebuild(compacted):
+    inc, full, *_ = compacted
+    for qid in QIDS:
+        q = reference_query_set()[qid]
+        got = _hydrated(inc, q["query_text"], q["k"])
+        want = _hydrated(full, q["query_text"], q["k"])
+        assert got == want, (qid, got[:5], want[:5])
+
+
+def test_compacted_wand_matches_naive(compacted):
+    """Dynamic (max_tf, min_dl) bounds on the compacted index must
+    still yield exact top-k — cross-check vs the naive full scorer on
+    the same segments."""
+    inc, *_ = compacted
+    q = reference_query_set()[7]
+    wand = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in inc.topk(q["query_text"], q["k"]).collect()
+    ]
+    naive = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in inc.naive_topk(q["query_text"], q["k"]).collect()
+    ]
+    assert wand == naive
+
+
+def test_recompaction_is_noop(compacted, spark):
+    """Re-running over the same landing data adds nothing (duplicate
+    keys are skipped — reference database.ts:59-67 semantics)."""
+    inc, _full, root, landing, ingest_out, _res = compacted
+    res2 = compact_index(spark, root, landing, f"{ingest_out}/postings_delta")
+    assert res2["added"] == 0
+    assert res2["n_docs"] == inc.stats["n_docs"]
+
+
+def test_new_docs_reachable(compacted):
+    """A term that only exists in corpus B must be findable."""
+    inc, full, *_ = compacted
+    dm = inc.spark.read.parquet(*inc.paths.doc_map_paths())
+    assert dm.filter(F.col("conv_id") == f"c{N_A:08d}").count() > 0
+    assert dm.count() == inc.stats["n_docs"]

@@ -64,9 +64,7 @@ def test_blocks_reconstruct_postings(built):
         )
         docs, tfs = [], []
         for _, r in pdf.iterrows():
-            d, t, l = decode_block(
-                r["first_doc"], r["doc_bytes"], r["tf_bytes"], r["dl_bytes"]
-            )
+            d, t = decode_block(r["first_doc"], r["doc_bytes"], r["tf_bytes"])
             docs.append(d)
             tfs.append(t)
             assert len(d) == r["n"]

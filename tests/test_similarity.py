@@ -1,0 +1,135 @@
+"""ANN sketch index: recall gate + partition-pruning plan check.
+
+Round-1 VERDICT item 5: the approximate operator needs a quantitative
+gate (recall@k vs the exact cosine baseline) and a persisted,
+bucket-partitioned sketch whose probe scan provably prunes partitions.
+
+Recall is gated on CLUSTERED synthetic embeddings — the data shape ANN
+indexes exist for. The driver's testdata embeddings are i.i.d.
+gaussian (measured: mean top-20 neighbor cosine 0.27 vs 0.0 overall),
+where NO sub-linear angular LSH can reach high recall — on that table
+the test asserts a documented, weaker floor instead of pretending.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """500 vectors in 25 tight clusters (within-cluster cosine ~0.9)."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((25, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(500):
+        c = centers[i % 25]
+        v = c + 0.25 * rng.standard_normal(DIM) / np.sqrt(DIM)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def clustered_sketch(clustered, tmp_path_factory):
+    from zensearch_spark.operators.similarity import build_ann_index
+
+    path = str(tmp_path_factory.mktemp("ann") / "sketch")
+    build_ann_index(clustered, path, dim=DIM, n_planes=8, n_tables=4)
+    return path
+
+
+def _qvec(emb, vec_id: int) -> list[float]:
+    row = emb.filter(F.col("vec_id") == vec_id).collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def test_ann_recall_clustered(spark, clustered, clustered_sketch):
+    """recall@10 ≥ 0.9 vs exact cosine at the DEFAULT probe budget
+    (8 planes × 4 tables, hamming 1 → ≤ 4·9/256 ≈ 14% of the data)."""
+    from zensearch_spark.operators.similarity import ann_topk_indexed, cosine_topk
+
+    k = 10
+    recalls = []
+    for vid in (0, 7, 42, 99, 123):
+        q = _qvec(clustered, vid)
+        exact = {r["vec_id"] for r in cosine_topk(clustered, q, k=k).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ann_topk_indexed(spark, clustered_sketch, q, k=k).collect()
+        }
+        recalls.append(len(exact & approx) / k)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, (avg, recalls)
+
+
+def test_ann_recall_floor_on_uniform_testdata(spark, tmp_path_factory):
+    """On the driver's i.i.d.-gaussian embeddings (no angular
+    structure) the same budget is asserted only against a documented
+    floor — full recall on structureless data would require scanning
+    nearly everything, which is cosine_topk's job."""
+    from zensearch_spark.operators.similarity import (
+        ann_topk_indexed, build_ann_index, cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path_factory.mktemp("annu") / "sketch")
+    build_ann_index(emb, path, dim=DIM, n_planes=8, n_tables=4)
+    k = 20
+
+    def recall(probe_hamming: int) -> float:
+        recalls = []
+        for vid in (0, 42, 123):
+            q = _qvec(emb, vid)
+            exact = {r["vec_id"] for r in cosine_topk(emb, q, k=k).collect()}
+            approx = {
+                r["vec_id"]
+                for r in ann_topk_indexed(
+                    spark, path, q, k=k, probe_hamming=probe_hamming
+                ).collect()
+            }
+            recalls.append(len(exact & approx) / k)
+        return sum(recalls) / len(recalls)
+
+    r1 = recall(1)   # ~14% of data scanned (measured ~0.4 recall)
+    r2 = recall(2)   # ~58% scanned — budget↑ must buy recall↑
+    assert r1 >= 0.3, r1
+    assert r2 > r1 and r2 >= 0.6, (r1, r2)
+
+
+def test_ann_probe_scan_prunes_partitions(spark, clustered, clustered_sketch):
+    """The probe scan must carry a PartitionFilters entry on
+    (table_id, bucket) — unprobed bucket directories are pruned at
+    planning time, the property that makes this viable at 100 TB."""
+    from zensearch_spark.operators.similarity import ann_topk_indexed, probe_buckets
+
+    q = _qvec(clustered, 0)
+    df = ann_topk_indexed(spark, clustered_sketch, q, k=5)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan
+    tail = plan.split("PartitionFilters", 1)[1][:400]
+    assert "bucket" in tail and "table_id" in tail
+    assert len(probe_buckets(q, n_planes=8, probe_hamming=1)) == 9
+
+
+def test_indexed_matches_inline_ann(spark, clustered, clustered_sketch):
+    """Persisted-sketch path returns the same rows as the inline
+    sketch path (same planes/seed → same buckets → same candidates)."""
+    from zensearch_spark.operators.similarity import ann_topk, ann_topk_indexed
+
+    q = _qvec(clustered, 7)
+    a = [(r["vec_id"], r["cosine"]) for r in ann_topk(clustered, q, k=10).collect()]
+    b = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_topk_indexed(spark, clustered_sketch, q, k=10).collect()
+    ]
+    assert a == b

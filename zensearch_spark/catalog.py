@@ -1,0 +1,62 @@
+"""Table-provider shim (SURVEY.md §7): Iceberg when a Spark catalog is
+configured, plain parquet directory tables otherwise.
+
+The sandbox has no Iceberg runtime jar, so every identifier here is a
+filesystem path and the parquet branch is the one tests exercise. On
+a cluster with `spark.sql.catalog.<name>` configured, passing
+`table://<catalog>.<db>.<table>` identifiers routes reads through
+`spark.read.table` and writes through `writeTo(...).createOrReplace/
+append` — same DataFrame plans either way. Snapshot-commit semantics
+(what plans/checkpoint.py emulates with write-temp + atomic rename +
+manifest) degrade gracefully: with Iceberg they are native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TABLE_PREFIX = "table://"
+
+
+def is_table_ident(ident: str) -> bool:
+    return ident.startswith(_TABLE_PREFIX)
+
+
+def iceberg_configured(spark: SparkSession) -> bool:
+    return any(
+        k.startswith("spark.sql.catalog.")
+        for k, _ in spark.sparkContext.getConf().getAll()
+    )
+
+
+def read_table(spark: SparkSession, ident: str) -> DataFrame:
+    """Read a table by identifier: `table://cat.db.t` via the session
+    catalog (Iceberg etc.), anything else as a parquet directory."""
+    if is_table_ident(ident):
+        return spark.read.table(ident[len(_TABLE_PREFIX):])
+    return spark.read.parquet(ident)
+
+
+def write_table(
+    df: DataFrame,
+    ident: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a DataFrame to `ident` (same routing as read_table)."""
+    if is_table_ident(ident):
+        name = ident[len(_TABLE_PREFIX):]
+        w = df.writeTo(name)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
+        return
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(ident)

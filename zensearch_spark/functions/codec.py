@@ -13,11 +13,23 @@ blocks; each block stores:
 - ``first_doc`` / ``last_doc`` (int64 metadata columns, for skipping)
 - ``n`` docs in block
 - ``max_score`` — exact max BM25 contribution of any doc in the block
-  (computed at encode time with the final idf/avgdl), the block-max
-  WAND bound
+  (computed at encode time with the build's idf/avgdl), the block-max
+  WAND bound while the index stats are unchanged
+- ``max_tf`` / ``min_dl`` — the stats-independent bound ingredients:
+  idf·tfcomp(max_tf, min_dl, avgdl) ≥ any doc's contribution for ANY
+  (idf, avgdl), because tfcomp is monotone ↑ in tf and ↓ in dl. After
+  a delta compaction changes n_docs/avgdl/idf, stored max_score is
+  stale but this dynamic bound stays valid — pruning degrades a
+  little, correctness never.
 - ``doc_bytes`` — varint(diff(doc_ids)) (n-1 values; first doc is in
   metadata)
-- ``tf_bytes`` / ``dl_bytes`` — varint streams of tf and doc_len
+- ``tf_bytes`` — varint stream of tfs
+
+doc_len is NOT stored per posting (a doc's length would repeat once
+per term it contains — measured 3.2x corpus size round 1). It lives
+once per doc in a per-salt-range sidecar (encode_dl_chunks below):
+doc_ids are dense within a salt range, so a chunk is just
+(first_doc, n, varint dls) and lookup is arr[doc - base].
 
 Varint = LEB128 (7 data bits per byte, high bit = continuation),
 encoded/decoded with O(max_len) vectorized passes, no per-element
@@ -102,8 +114,8 @@ def encode_blocks(
     """Cut one sorted posting list into compressed blocks.
 
     Returns a list of dicts, one per block, with keys
-    (block_seq, n, first_doc, last_doc, max_score, doc_bytes,
-    tf_bytes, dl_bytes). doc_ids MUST be sorted ascending and unique.
+    (block_seq, n, first_doc, last_doc, max_score, max_tf, min_dl,
+    doc_bytes, tf_bytes). doc_ids MUST be sorted ascending and unique.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     n_total = len(doc_ids)
@@ -121,9 +133,10 @@ def encode_blocks(
                 "first_doc": int(docs[0]),
                 "last_doc": int(docs[-1]),
                 "max_score": float(contrib.max()),
+                "max_tf": int(tf.max()),
+                "min_dl": int(dl.min()),
                 "doc_bytes": encode_varints(np.diff(docs).astype(np.uint64)),
                 "tf_bytes": encode_varints(tf),
-                "dl_bytes": encode_varints(dl),
             }
         )
     return blocks
@@ -170,9 +183,10 @@ def encode_sorted_runs(
             "first_doc": np.empty(0, np.int64),
             "last_doc": np.empty(0, np.int64),
             "max_score": np.empty(0, np.float64),
+            "max_tf": np.empty(0, np.int64),
+            "min_dl": np.empty(0, np.int64),
             "doc_bytes": [],
             "tf_bytes": [],
-            "dl_bytes": [],
         }
     doc_ids = np.ascontiguousarray(doc_ids, np.int64)
     grp_id = np.cumsum(group_change) - 1
@@ -187,6 +201,12 @@ def encode_sorted_runs(
 
     contrib = idfs * bm25_tf_component(tfs, doc_lens, avgdl)
     max_score = np.maximum.reduceat(contrib, block_starts)
+    max_tf = np.maximum.reduceat(
+        np.ascontiguousarray(tfs, np.int64), block_starts
+    )
+    min_dl = np.minimum.reduceat(
+        np.ascontiguousarray(doc_lens, np.int64), block_starts
+    )
 
     # doc-delta stream: per-row delta, excluded at block starts
     delta = np.empty(n, np.int64)
@@ -204,11 +224,6 @@ def encode_sorted_runs(
     tf_block_len = np.add.reduceat(tf_nb, block_starts)
     tf_buf = encode_varints(tf_vals)
 
-    dl_vals = np.ascontiguousarray(doc_lens, np.uint64)
-    dl_nb = _varint_nbytes(dl_vals)
-    dl_block_len = np.add.reduceat(dl_nb, block_starts)
-    dl_buf = encode_varints(dl_vals)
-
     def slices(buf: bytes, lens: np.ndarray) -> list[bytes]:
         offs = np.concatenate([[0], np.cumsum(lens)])
         return [buf[offs[i]: offs[i + 1]] for i in range(n_blocks)]
@@ -220,16 +235,17 @@ def encode_sorted_runs(
         "first_doc": doc_ids[block_starts],
         "last_doc": doc_ids[block_ends - 1],
         "max_score": max_score,
+        "max_tf": max_tf,
+        "min_dl": min_dl,
         "doc_bytes": slices(doc_buf, doc_block_len),
         "tf_bytes": slices(tf_buf, tf_block_len),
-        "dl_bytes": slices(dl_buf, dl_block_len),
     }
 
 
 def decode_block(
-    first_doc: int, doc_bytes: bytes, tf_bytes: bytes, dl_bytes: bytes
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one block → (doc_ids int64, tfs int64, doc_lens int64)."""
+    first_doc: int, doc_bytes: bytes, tf_bytes: bytes
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one block → (doc_ids int64, tfs int64)."""
     deltas = decode_varints(doc_bytes).astype(np.int64)
     docs = np.empty(len(deltas) + 1, dtype=np.int64)
     docs[0] = first_doc
@@ -237,5 +253,37 @@ def decode_block(
         np.cumsum(deltas, out=docs[1:])
         docs[1:] += first_doc
     tfs = decode_varints(tf_bytes).astype(np.int64)
-    dls = decode_varints(dl_bytes).astype(np.int64)
-    return docs, tfs, dls
+    return docs, tfs
+
+
+def encode_dl_chunks(
+    doc_ids: np.ndarray, doc_lens: np.ndarray, chunk: int = 8192
+) -> list[dict]:
+    """doc_len sidecar rows for ONE dense doc_id range (a salt range):
+    [(first_doc, n, dl_bytes)]. doc_ids MUST be consecutive ascending
+    (dense ranks within a salt range) — lookup is then positional,
+    dls[doc - first_doc], no doc stream stored at all."""
+    doc_ids = np.ascontiguousarray(doc_ids, np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    if n > 1 and not (np.diff(doc_ids) == 1).all():
+        raise ValueError("doc_len sidecar requires dense doc_id ranges")
+    out = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        out.append(
+            {
+                "first_doc": int(doc_ids[lo]),
+                "n": int(hi - lo),
+                "dl_bytes": encode_varints(
+                    np.ascontiguousarray(doc_lens[lo:hi], np.uint64)
+                ),
+            }
+        )
+    return out
+
+
+def decode_dl_chunk(dl_bytes: bytes) -> np.ndarray:
+    """Inverse of one encode_dl_chunks row → int64 doc_len array."""
+    return decode_varints(dl_bytes).astype(np.int64)

@@ -63,31 +63,76 @@ def _tfcomp(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+class _DocLens:
+    """Positional doc_len lookup for one salt group, decoded once from
+    the per-salt sidecar chunks (doc_ids are dense within the range,
+    so dl(doc) = arr[doc - base])."""
+
+    def __init__(self, dl_pdf: pd.DataFrame):
+        from zensearch_spark.functions.codec import decode_dl_chunk
+
+        firsts = dl_pdf["first_doc"].to_numpy(np.int64)
+        ns = dl_pdf["n"].to_numpy(np.int64)
+        self.base = int(firsts.min()) if len(firsts) else 0
+        span = int((firsts + ns).max() - self.base) if len(firsts) else 0
+        self.arr = np.zeros(span, np.int64)
+        for fd, n, buf in zip(firsts, ns, dl_pdf["dl_bytes"]):
+            self.arr[fd - self.base: fd - self.base + n] = decode_dl_chunk(buf)
+
+    def lookup(self, docs: np.ndarray) -> np.ndarray:
+        return self.arr[docs - self.base]
+
+
 class _TermBlocks:
     """Lazily-decoded posting blocks of one term within one salt
     group. Contributions are cached WITHOUT query weight (idf·tfcomp)
-    so one decode serves every query in the batch."""
+    so one decode serves every query in the batch.
 
-    def __init__(self, pdf: pd.DataFrame, idf: float, avgdl: float):
-        pdf = pdf.sort_values("block_seq")
+    Block upper bounds: stored max_score when the index stats are the
+    ones the blocks were encoded with (bounds_exact); after a delta
+    compaction the stats moved, so the stats-independent bound
+    idf·tfcomp(max_tf, min_dl, avgdl) is used instead — always ≥ the
+    true block max (tfcomp monotone ↑ tf, ↓ dl), just slightly looser.
+
+    Blocks sort by first_doc, NOT block_seq: a compacted index can
+    hold blocks from several encode runs in one (term, salt) group
+    (each run restarts block_seq at 0), and the evaluator's lookup
+    binary-searches require global doc order."""
+
+    def __init__(
+        self,
+        pdf: pd.DataFrame,
+        idf: float,
+        avgdl: float,
+        dls: _DocLens,
+        bounds_exact: bool = True,
+    ):
+        pdf = pdf.sort_values("first_doc")
         self.first = pdf["first_doc"].to_numpy(np.int64)
         self.last = pdf["last_doc"].to_numpy(np.int64)
-        self.max_score = pdf["max_score"].to_numpy(np.float64)
+        if bounds_exact:
+            self.block_ub = pdf["max_score"].to_numpy(np.float64)
+        else:
+            self.block_ub = idf * _tfcomp(
+                pdf["max_tf"].to_numpy(np.int64),
+                pdf["min_dl"].to_numpy(np.int64),
+                avgdl,
+            )
         self.doc_bytes = pdf["doc_bytes"].tolist()
         self.tf_bytes = pdf["tf_bytes"].tolist()
-        self.dl_bytes = pdf["dl_bytes"].tolist()
         self.idf = idf
         self.avgdl = avgdl
-        self.ub = float(self.max_score.max()) if len(self.max_score) else 0.0
+        self.dls = dls
+        self.ub = float(self.block_ub.max()) if len(self.block_ub) else 0.0
         self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
     def _decode(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         got = self._decoded.get(i)
         if got is None:
-            docs, tfs, dls = decode_block(
-                int(self.first[i]), self.doc_bytes[i], self.tf_bytes[i], self.dl_bytes[i]
+            docs, tfs = decode_block(
+                int(self.first[i]), self.doc_bytes[i], self.tf_bytes[i]
             )
-            contrib = self.idf * _tfcomp(tfs, dls, self.avgdl)
+            contrib = self.idf * _tfcomp(tfs, self.dls.lookup(docs), self.avgdl)
             got = self._decoded[i] = (docs, contrib)
         return got
 
@@ -198,16 +243,25 @@ def _evaluate_one_query(
 
 def evaluate_salt_group(
     pdf: pd.DataFrame,
+    dl_pdf: pd.DataFrame,
     idf_map: dict[str, float],
     queries: list[tuple[int, dict[str, float], int]],
     avgdl: float,
+    bounds_exact: bool = True,
 ) -> pd.DataFrame:
     """All queries of the batch over one salt group, sharing the
-    decode cache. ``queries`` = [(query_id, {term: weight}, k)]."""
+    decode cache. ``queries`` = [(query_id, {term: weight}, k)];
+    ``dl_pdf`` is the salt's doc_len sidecar slice."""
+    if len(pdf) and not len(dl_pdf):
+        raise RuntimeError(
+            f"doc_len sidecar missing for salt "
+            f"{int(pdf['salt'].iloc[0])} — index is inconsistent"
+        )
+    dls = _DocLens(dl_pdf)
     terms: dict[str, _TermBlocks] = {}
     for term, tpdf in pdf.groupby("term", sort=True):
         t = str(term)
-        terms[t] = _TermBlocks(tpdf, idf_map[t], avgdl)
+        terms[t] = _TermBlocks(tpdf, idf_map[t], avgdl, dls, bounds_exact)
 
     qids, docs_out, scores_out = [], [], []
     for qid, weight_map, k in queries:
@@ -236,16 +290,21 @@ def evaluate_salt_group(
 def wand_topk_batch(
     spark: SparkSession,
     blocks: DataFrame,
+    doc_lens: DataFrame,
     term_rows: list[dict],
     queries: list[tuple[int, str, int]],
     avgdl: float,
     n_term_buckets: int,
+    bounds_exact: bool = True,
 ) -> DataFrame:
     """One Spark job answering the whole query batch.
 
     ``queries``: [(query_id, query_text, k)].
     ``term_rows``: collected term_dict rows covering the union of all
     query terms (the broadcast dictionary).
+    ``doc_lens``: the per-salt doc_len sidecar table, cogrouped with
+    the pruned blocks on salt (doc_len is stored once per doc, not
+    once per posting — see functions/codec.py).
     Returns (query_id, doc_id, score), exact top-k per query, ordered
     within query by (score desc, doc_id asc).
     """
@@ -267,10 +326,24 @@ def wand_topk_batch(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return evaluate_salt_group(pdf, idf_map, parsed, avgdl)
+    def run(bl_pdf: pd.DataFrame, dl_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(bl_pdf):  # dl-only salt group (no query-term blocks)
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype=np.int32),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+        return evaluate_salt_group(
+            bl_pdf, dl_pdf, idf_map, parsed, avgdl, bounds_exact
+        )
 
-    cands = pruned.groupBy("salt").applyInPandas(run, schema=TOPK_SCHEMA)
+    cands = (
+        pruned.groupby("salt")
+        .cogroup(doc_lens.groupby("salt"))
+        .applyInPandas(run, schema=TOPK_SCHEMA)
+    )
     # per-query k as a literal map: k is driver-known, so a
     # createDataFrame + broadcast-join here would cost a whole extra
     # Spark job per batch just to ship ≤|queries| ints (measured ~0.5 s
@@ -290,15 +363,18 @@ def wand_topk_batch(
 def wand_topk(
     spark: SparkSession,
     blocks: DataFrame,
+    doc_lens: DataFrame,
     term_rows: list[dict],
     query: str,
     k: int,
     avgdl: float,
     n_term_buckets: int,
+    bounds_exact: bool = True,
 ) -> DataFrame:
     """Single-query convenience wrapper over the batch evaluator."""
     batch = wand_topk_batch(
-        spark, blocks, term_rows, [(0, query, k)], avgdl, n_term_buckets
+        spark, blocks, doc_lens, term_rows, [(0, query, k)], avgdl,
+        n_term_buckets, bounds_exact,
     )
     return batch.select("doc_id", "score")
 

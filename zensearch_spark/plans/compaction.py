@@ -1,0 +1,248 @@
+"""Delta compaction: fold streaming-ingest deltas into the index.
+
+The reference's core operational property is crawl-while-serving:
+`saveWebpage` appends continuously (reference:
+database/src/database.ts:16-91) and every query sees the current
+corpus (database.ts:93-104). Our batch index reproduces that as an
+LSM-style minor compaction: streaming/ingest.py lands raw transcript
+appends + per-batch posting deltas; this job folds them into NEW
+index segments —
+
+    doc_map_delta_<g>   new turns, doc_ids stamped above the old range
+    blocks_delta_<g>    posting blocks for the new docs only
+    doc_lens_delta_<g>  doc_len sidecar rows for the new salt ranges
+    term_dict_g<g>      FULL rewrite (df/idf shift for every term when
+                        N grows — the dictionary is vocabulary-sized,
+                        tiny next to the corpus)
+
+and commits by atomically swapping stats.json (segment lists + new
+stats). A crash mid-run leaves unreferenced delta dirs that the next
+run simply overwrites — the commit point is the stats swap, the same
+write-temp-then-rename discipline plans/checkpoint.py uses.
+
+Correctness under changed stats: per-posting contributions are always
+computed at QUERY time from (tf, dl, idf, avgdl) — tf/dl from the
+index, idf/avgdl from the current term_dict/stats — so scores after
+compaction are exactly the scores of a from-scratch build over the
+union corpus. Only the stored per-block max_score is stale (encoded
+under the OLD stats); compaction therefore flips stats.bounds_exact
+to false and the WAND evaluator switches to the stats-independent
+bound idf·tfcomp(max_tf, min_dl, avgdl) (functions/codec.py) — valid
+for any stats, just slightly looser. A periodic full rebuild
+(jobs/build_index.py) restores exact bounds, exactly like a major
+compaction in any LSM engine.
+
+doc_id discipline: new docs are ranked by (conv_id, turn_idx) within
+the delta and offset to the next stride boundary above the old range,
+so (a) ids stay unique and dense per salt range (the sidecar's
+positional-lookup invariant), (b) no (term, salt) group ever mixes
+encode runs' block ranges, and (c) relative tie-break order inside a
+delta matches a from-scratch build. Duplicate keys (already indexed
+or repeated in the landing data) are skipped — the reference's
+duplicate-key-skip semantics (database.ts:59-67).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from zensearch_spark.functions.tokenizer import with_tokens
+from zensearch_spark.operators.docmap import assign_doc_ids, unpersist_intermediates
+from zensearch_spark.plans.index_build import (
+    BLOCK_SCHEMA,
+    DL_SCHEMA,
+    IndexPaths,
+    _make_partition_encoder,
+)
+from zensearch_spark.sources.corpus import TRANSCRIPT_SCHEMA
+
+
+def compact_index(
+    spark: SparkSession,
+    index_root: str,
+    landing_dir: str,
+    deltas_dir: str | None = None,
+) -> dict:
+    """Fold new transcript turns from ``landing_dir`` (plus, when
+    available, the matching posting deltas streaming/ingest.py wrote
+    under ``deltas_dir``) into the index at ``index_root``.
+
+    Returns {"added": n_new_docs, "n_docs": total, "generation": g}.
+    Idempotent: landing keys already present in doc_map are skipped,
+    so re-running after a crash (or on unchanged landing data) is a
+    no-op.
+    """
+    paths = IndexPaths.load(index_root)
+    st = dict(paths.stats)
+    stride = int(st["stride"])
+    block_size = int(st["block_size"])
+    n_term_buckets = int(st["n_term_buckets"])
+    n_old = int(st["n_docs"])
+    total_old = int(st.get("total_len") or round(float(st["avgdl"]) * n_old))
+    gen = len(paths.doc_map_paths())
+
+    # ---- 1. fresh docs: dedupe landing keys, skip already-indexed ----------
+    landing = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(landing_dir)
+    existing = spark.read.parquet(*paths.doc_map_paths()).select(
+        "conv_id", "turn_idx"
+    )
+    fresh = landing.dropDuplicates(["conv_id", "turn_idx"]).join(
+        existing, ["conv_id", "turn_idx"], "left_anti"
+    )
+    if fresh.limit(1).count() == 0:  # nothing new — no-op (idempotent rerun)
+        return {"added": 0, "n_docs": n_old, "generation": gen - 1}
+
+    # next stride boundary: new ids never share a salt range with old
+    # ones, so every (term, salt) group holds blocks of ONE encode run
+    # and every sidecar range stays dense
+    offset = ((n_old + stride - 1) // stride) * stride
+
+    stamped = assign_doc_ids(fresh)
+    delta_dm = stamped.withColumn(
+        "doc_id", (F.col("doc_id") + offset).cast("long")
+    ).withColumn("doc_len", F.size(with_tokens("text")))
+    dm_dir = os.path.join(index_root, f"doc_map_delta_{gen:03d}")
+    delta_dm.write.mode("overwrite").parquet(dm_dir)
+    unpersist_intermediates(stamped)
+
+    new_dm = spark.read.parquet(dm_dir)
+    row = new_dm.agg(
+        F.count("*").alias("n"), F.sum("doc_len").alias("tl")
+    ).collect()[0]
+    n_new = int(row["n"])
+    n_total = n_old + n_new
+    total_len = total_old + int(row["tl"] or 0)
+    avgdl = total_len / n_total if n_total else 0.0
+
+    # ---- 2. postings for the new docs ---------------------------------------
+    # reuse the stream's tokenised posting deltas when present (the
+    # ingest already paid the tokenise+count); fall back to
+    # re-tokenising the landing rows so compaction also works from a
+    # bare landing dir. Either path produces identical rows — the
+    # ingest uses the same with_tokens rule.
+    if deltas_dir and os.path.isdir(deltas_dir):
+        deltas = spark.read.parquet(deltas_dir)
+        new_postings = (
+            deltas.join(
+                new_dm.select("conv_id", "turn_idx", "doc_id"),
+                ["conv_id", "turn_idx"],
+            )
+            # a key replayed across micro-batches carries identical
+            # rows; max() is a deterministic pick
+            .groupBy("term", "doc_id")
+            .agg(F.max("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
+        )
+    else:
+        new_postings = (
+            new_dm.select(
+                "doc_id", "doc_len", F.explode(with_tokens("text")).alias("term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.count("*").alias("tf"), F.first("doc_len").alias("doc_len"))
+        )
+
+    # ---- 3. term_dict: full rewrite with merged df + new idf ----------------
+    old_td = spark.read.parquet(paths.term_dict_path()).select("term", "df")
+    delta_df = new_postings.groupBy("term").agg(F.count("*").alias("df"))
+    td_name = f"term_dict_g{gen:03d}"
+    td_dir = os.path.join(index_root, td_name)
+    (
+        old_td.unionByName(delta_df)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_total)) / F.col("df")))
+        .write.mode("overwrite")
+        .parquet(td_dir)
+    )
+    new_td = spark.read.parquet(td_dir)
+
+    # ---- 4. posting blocks for the new docs (encoded with NEW stats) --------
+    nparts = spark.sparkContext.defaultParallelism * 2
+    enriched = (
+        new_postings.join(new_td.select("term", "idf"), "term")
+        .withColumn("salt", (F.col("doc_id") / F.lit(stride)).cast("int"))
+        .repartition(nparts, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+    )
+    bl_dir = os.path.join(index_root, f"blocks_delta_{gen:03d}")
+    (
+        enriched.mapInPandas(
+            _make_partition_encoder(avgdl, block_size), schema=BLOCK_SCHEMA
+        )
+        .withColumn("term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets)))
+        .repartition(n_term_buckets, "term_bucket")
+        .sortWithinPartitions("term", "salt", "block_seq")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(bl_dir)
+    )
+
+    # ---- 5. doc_len sidecar rows for the new ranges --------------------------
+    import pandas as pd
+
+    def encode_dl(batches):
+        from zensearch_spark.functions.codec import encode_dl_chunks
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for salt, grp in pdf.groupby("salt", sort=True):
+                for r in encode_dl_chunks(
+                    grp["doc_id"].to_numpy(), grp["doc_len"].to_numpy()
+                ):
+                    out.append(
+                        {
+                            "salt": int(salt),
+                            "first_doc": r["first_doc"],
+                            "n": r["n"],
+                            "dl_bytes": r["dl_bytes"],
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    dl_dir = os.path.join(index_root, f"doc_lens_delta_{gen:03d}")
+    (
+        new_dm.select(
+            "doc_id", "doc_len",
+            (F.col("doc_id") / F.lit(stride)).cast("int").alias("salt"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "salt")
+        .sortWithinPartitions("salt", "doc_id")
+        .mapInPandas(encode_dl, schema=DL_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(dl_dir)
+    )
+
+    # ---- 6. commit: atomic stats swap ----------------------------------------
+    segs = st.get(
+        "segments",
+        {"doc_map": ["doc_map"], "blocks": ["blocks"], "doc_lens": ["doc_lens"]},
+    )
+    segs = {k: list(v) for k, v in segs.items()}
+    segs["doc_map"].append(os.path.basename(dm_dir))
+    segs["blocks"].append(os.path.basename(bl_dir))
+    segs["doc_lens"].append(os.path.basename(dl_dir))
+    st.update(
+        {
+            "n_docs": n_total,
+            "avgdl": avgdl,
+            "total_len": total_len,
+            "segments": segs,
+            "term_dict_dir": td_name,
+            # old blocks' stored max_score was computed under the old
+            # stats — query side must use the dynamic bound now
+            "bounds_exact": False,
+            "compaction_generation": gen,
+        }
+    )
+    tmp = paths.stats_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(st, f, indent=1)
+    os.replace(tmp, paths.stats_path)
+    return {"added": n_new, "n_docs": n_total, "generation": gen}

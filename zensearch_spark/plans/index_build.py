@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from zensearch_spark import BLOCK_SIZE
+from zensearch_spark.catalog import read_table, write_table
 from zensearch_spark.functions.tokenizer import with_tokens
 from zensearch_spark.operators.docmap import assign_doc_ids, unpersist_intermediates
 from zensearch_spark.plans.checkpoint import StageRunner
@@ -56,8 +57,18 @@ BLOCK_SCHEMA = T.StructType(
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("max_score", T.DoubleType(), False),
+        T.StructField("max_tf", T.LongType(), False),
+        T.StructField("min_dl", T.LongType(), False),
         T.StructField("doc_bytes", T.BinaryType(), False),
         T.StructField("tf_bytes", T.BinaryType(), False),
+    ]
+)
+
+DL_SCHEMA = T.StructType(
+    [
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
         T.StructField("dl_bytes", T.BinaryType(), False),
     ]
 )
@@ -85,8 +96,31 @@ class IndexPaths:
         return os.path.join(self.root, "blocks")
 
     @property
+    def doc_lens(self) -> str:
+        return os.path.join(self.root, "doc_lens")
+
+    @property
     def stats_path(self) -> str:
         return os.path.join(self.root, "stats.json")
+
+    # -- segment lists: a freshly built index has one segment per
+    # table; each delta compaction (plans/compaction.py) appends a
+    # delta segment dir and repoints term_dict. Readers union them.
+    def _segments(self, key: str, default_dir: str) -> list[str]:
+        names = self.stats.get("segments", {}).get(key, [default_dir])
+        return [os.path.join(self.root, n) for n in names]
+
+    def doc_map_paths(self) -> list[str]:
+        return self._segments("doc_map", "doc_map")
+
+    def blocks_paths(self) -> list[str]:
+        return self._segments("blocks", "blocks")
+
+    def doc_lens_paths(self) -> list[str]:
+        return self._segments("doc_lens", "doc_lens")
+
+    def term_dict_path(self) -> str:
+        return os.path.join(self.root, self.stats.get("term_dict_dir", "term_dict"))
 
     @classmethod
     def load(cls, root: str) -> "IndexPaths":
@@ -125,9 +159,10 @@ def _encode_sorted_pdf(pdf: pd.DataFrame, avgdl: float, block_size: int) -> pd.D
             "first_doc": enc["first_doc"],
             "last_doc": enc["last_doc"],
             "max_score": enc["max_score"],
+            "max_tf": enc["max_tf"],
+            "min_dl": enc["min_dl"],
             "doc_bytes": enc["doc_bytes"],
             "tf_bytes": enc["tf_bytes"],
-            "dl_bytes": enc["dl_bytes"],
         }
     )
 
@@ -185,6 +220,172 @@ def _parquet_footer_stats(path: str, col: str) -> tuple[int, int | None, int | N
     return n, lo, hi
 
 
+# --------------------------------------------------------------- stages
+# Each stage is a standalone function over explicit input/output paths
+# so (a) build_index composes them under checkpoint manifests and
+# (b) jobs/stage_scaling.py times each one in ISOLATION at two
+# parallelism levels for the north_rule scaling evidence.
+
+def stage_doc_map(spark: SparkSession, corpus: DataFrame, out_path: str) -> int:
+    """Stable docIDs + doc_len; returns n_docs. Dense-id invariant is
+    verified from parquet footers (ADVICE round 1) — a recomputed
+    range intermediate would shift ids, and the build must abort
+    rather than silently emit wrong ranks."""
+    stamped = assign_doc_ids(corpus)
+    out = stamped.withColumn("doc_len", F.size(with_tokens("text")))
+    # rows leave the stamping window already sorted by key within
+    # each range partition, i.e. by doc_id — no extra sort needed
+    # (an explicit sortWithinPartitions here was measured as pure
+    # overhead and removed; locality is identical)
+    write_table(out, out_path)
+    expected = getattr(stamped, "_zs_total", None)
+    unpersist_intermediates(stamped)
+    n, lo, hi = _parquet_footer_stats(out_path, "doc_id")
+    if expected is not None and n != int(expected):
+        raise RuntimeError(
+            f"doc_map row drift: stamped {n} rows, offset pass saw "
+            f"{expected} — range intermediate was recomputed"
+        )
+    if n and (lo != 0 or hi != n - 1):
+        raise RuntimeError(
+            f"doc_map ids not dense 0..{n - 1}: min={lo} max={hi}"
+        )
+    return n
+
+
+def stage_postings(spark: SparkSession, doc_map_path: str, out_path: str) -> None:
+    """(term, doc_id, tf, doc_len) with map-side partial aggregation."""
+    doc_map = read_table(spark, doc_map_path)
+    pairs = doc_map.select(
+        "doc_id", "doc_len", F.explode(with_tokens("text")).alias("term")
+    )
+    postings = pairs.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
+    )
+    write_table(postings, out_path)
+
+
+def stage_term_dict(
+    spark: SparkSession, doc_map_path: str, postings_path: str, out_path: str
+) -> dict:
+    """(term, df, idf) + corpus stats; returns the stats metrics."""
+    doc_map = read_table(spark, doc_map_path)
+    row = doc_map.agg(
+        F.count("*").alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        F.sum("doc_len").alias("total_len"),
+    ).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    postings = read_table(spark, postings_path)
+    term_dict = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    write_table(term_dict, out_path)
+    return {
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "total_len": int(row["total_len"] or 0),
+    }
+
+
+def stage_blocks(
+    spark: SparkSession,
+    postings_path: str,
+    term_dict_path: str,
+    out_path: str,
+    avgdl: float,
+    stride: int,
+    block_size: int,
+    n_term_buckets: int,
+) -> None:
+    """Salted repartition → whole-partition block encode → one-writer-
+    per-bucket partitioned write (see build_index docstring for the
+    skew/scale rationale)."""
+    postings = read_table(spark, postings_path)
+    term_dict = read_table(spark, term_dict_path)
+    nparts = spark.sparkContext.defaultParallelism * 2
+    enriched = (
+        postings.join(term_dict.select("term", "idf"), "term")
+        .withColumn("salt", (F.col("doc_id") / F.lit(stride)).cast("int"))
+        # hot-term skew handled here: the shuffle key includes the
+        # doc-range salt, so the Zipf head spreads across tasks
+        .repartition(nparts, "term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+    )
+    encoded = enriched.mapInPandas(
+        _make_partition_encoder(avgdl, block_size), schema=BLOCK_SCHEMA
+    )
+    out = encoded.withColumn(
+        "term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets))
+    )
+    # One shuffle of the (already compressed, small) block rows so
+    # each write task owns exactly one bucket: without this, every
+    # encode task opens a parquet/zstd writer per bucket it sees —
+    # writers × tasks explodes with parallelism (measured 2x
+    # anti-scaling 8→32 cores). Sorting by (term, salt, block_seq)
+    # inside the bucket gives the file tight per-row-group term
+    # min/max stats, so query-term filters prune row groups inside
+    # the bucket dir as well.
+    write_table(
+        out.repartition(n_term_buckets, "term_bucket")
+        .sortWithinPartitions("term", "salt", "block_seq"),
+        out_path,
+        partition_by=["term_bucket"],
+    )
+
+
+def stage_doc_lens(
+    spark: SparkSession, doc_map_path: str, out_path: str, stride: int
+) -> None:
+    """doc_len sidecar: one length per DOC per salt range, instead of
+    one per POSTING (round 1 stored dl_bytes in every block, repeating
+    a doc's length once per term it contains — 3.2x corpus bytes).
+    doc_ids are dense ranks, so the sidecar needs no doc stream at
+    all: chunked varint dls, positional lookup."""
+    doc_map = read_table(spark, doc_map_path)
+
+    def encode_dl(batches):
+        from zensearch_spark.functions.codec import encode_dl_chunks
+
+        # rows arrive sorted by (salt, doc_id) within the partition;
+        # an Arrow batch boundary can split a salt run, but any
+        # contiguous slice of a dense sorted run is itself dense,
+        # so per-batch chunking stays valid (positional decode
+        # only needs each CHUNK's first_doc).
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for salt, grp in pdf.groupby("salt", sort=True):
+                for row in encode_dl_chunks(
+                    grp["doc_id"].to_numpy(), grp["doc_len"].to_numpy()
+                ):
+                    out.append(
+                        {
+                            "salt": int(salt),
+                            "first_doc": row["first_doc"],
+                            "n": row["n"],
+                            "dl_bytes": row["dl_bytes"],
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    enc_df = (
+        doc_map.select(
+            "doc_id",
+            "doc_len",
+            (F.col("doc_id") / F.lit(stride)).cast("int").alias("salt"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "salt")
+        .sortWithinPartitions("salt", "doc_id")
+        .mapInPandas(encode_dl, schema=DL_SCHEMA)
+    )
+    write_table(enc_df, out_path)
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -201,89 +402,30 @@ def build_index(
     runner = StageRunner(out_root)
     paths = IndexPaths(root=out_root)
 
-    # ---- stage 1: doc_map -------------------------------------------------
-    def build_doc_map(tmp: str) -> dict:
-        stamped = assign_doc_ids(corpus)
-        out = stamped.withColumn("doc_len", F.size(with_tokens("text")))
-        # rows leave the stamping window already sorted by key within
-        # each range partition, i.e. by doc_id — no extra sort needed
-        # (an explicit sortWithinPartitions here was measured as pure
-        # overhead and removed; locality is identical)
-        out.write.mode("overwrite").parquet(tmp)
-        expected = getattr(stamped, "_zs_total", None)
-        unpersist_intermediates(stamped)
-        # cheap post-write invariant (ADVICE round 1): if the persisted
-        # range-partitioned intermediate had been evicted+recomputed
-        # between the count pass and the stamp pass, resampled range
-        # boundaries would shift ids — (count, min, max) must describe
-        # the dense 0..N-1 rank or the build aborts instead of silently
-        # emitting wrong ids. Read from parquet footers directly (no
-        # scan; also immune to Spark's hidden-path filter on the
-        # dot-prefixed stage temp dir).
-        n, lo, hi = _parquet_footer_stats(tmp, "doc_id")
-        if expected is not None and n != int(expected):
-            raise RuntimeError(
-                f"doc_map row drift: stamped {n} rows, offset pass saw "
-                f"{expected} — range intermediate was recomputed"
-            )
-        if n and (lo != 0 or hi != n - 1):
-            raise RuntimeError(
-                f"doc_map ids not dense 0..{n - 1}: min={lo} max={hi}"
-            )
-        return {"n_docs": n}
-
     r1 = runner.run(
         "doc_map",
         {"corpus_id": corpus_id, "op": "assign_doc_ids+doc_len", "v": 1},
-        build_doc_map,
+        lambda tmp: {"n_docs": stage_doc_map(spark, corpus, tmp)},
         force=force,
     )
-
-    # ---- stage 2: postings ------------------------------------------------
-    def build_postings(tmp: str) -> dict:
-        doc_map = spark.read.parquet(r1.output_path)
-        pairs = (
-            doc_map.select("doc_id", "doc_len", F.explode(with_tokens("text")).alias("term"))
-        )
-        postings = pairs.groupBy("term", "doc_id").agg(
-            F.count("*").alias("tf"), F.first("doc_len").alias("doc_len")
-        )
-        postings.write.mode("overwrite").parquet(tmp)
-        return {}
 
     r2 = runner.run(
         "postings",
         {"upstream": runner.upstream_hash("doc_map"), "op": "tf-pairs", "v": 1},
-        build_postings,
+        lambda tmp: stage_postings(spark, r1.output_path, tmp) or {},
         force=force,
     )
 
-    # ---- stage 3: stats + term_dict ----------------------------------------
-    def build_term_dict(tmp: str) -> dict:
-        doc_map = spark.read.parquet(r1.output_path)
-        row = doc_map.agg(
-            F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
-        ).collect()[0]
-        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
-        postings = spark.read.parquet(r2.output_path)
-        term_dict = (
-            postings.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
-        )
-        term_dict.write.mode("overwrite").parquet(tmp)
-        return {"n_docs": n_docs, "avgdl": avgdl}
-
     r3 = runner.run(
         "term_dict",
-        {"upstream": runner.upstream_hash("postings"), "op": "df+idf", "v": 1},
-        build_term_dict,
+        {"upstream": runner.upstream_hash("postings"), "op": "df+idf", "v": 2},
+        lambda tmp: stage_term_dict(spark, r1.output_path, r2.output_path, tmp),
         force=force,
     )
     n_docs = int(r3.manifest["metrics"]["n_docs"])
     avgdl = float(r3.manifest["metrics"]["avgdl"])
+    total_len = int(r3.manifest["metrics"].get("total_len", 0))
 
-    # ---- stage 4: blocks ----------------------------------------------------
     if n_salt_ranges is None:
         # ~500k postings per hot-term salt group at most; ≥ parallelism
         n_salt_ranges = max(
@@ -292,41 +434,6 @@ def build_index(
         )
     stride = max(1, math.ceil(n_docs / n_salt_ranges))
 
-    def build_blocks(tmp: str) -> dict:
-        postings = spark.read.parquet(r2.output_path)
-        term_dict = spark.read.parquet(r3.output_path)
-        nparts = spark.sparkContext.defaultParallelism * 2
-        enriched = (
-            postings.join(term_dict.select("term", "idf"), "term")
-            .withColumn("salt", (F.col("doc_id") / F.lit(stride)).cast("int"))
-            # hot-term skew handled here: the shuffle key includes the
-            # doc-range salt, so the Zipf head spreads across tasks
-            .repartition(nparts, "term", "salt")
-            .sortWithinPartitions("term", "salt", "doc_id")
-        )
-        encoded = enriched.mapInPandas(
-            _make_partition_encoder(avgdl, block_size), schema=BLOCK_SCHEMA
-        )
-        out = encoded.withColumn(
-            "term_bucket", F.pmod(F.hash("term"), F.lit(n_term_buckets))
-        )
-        # One shuffle of the (already compressed, small) block rows so
-        # each write task owns exactly one bucket: without this, every
-        # encode task opens a parquet/zstd writer per bucket it sees —
-        # writers × tasks explodes with parallelism (measured 2x
-        # anti-scaling 8→32 cores). Sorting by (term, salt, block_seq)
-        # inside the bucket gives the file tight per-row-group term
-        # min/max stats, so query-term filters prune row groups inside
-        # the bucket dir as well.
-        (
-            out.repartition(n_term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "salt", "block_seq")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(tmp)
-        )
-        return {"stride": stride, "n_salt_ranges": n_salt_ranges}
-
     runner.run(
         "blocks",
         {
@@ -334,19 +441,40 @@ def build_index(
             "block_size": block_size,
             "stride": stride,
             "n_term_buckets": n_term_buckets,
+            "v": 2,  # v2: doc_len sidecar + (max_tf, min_dl) bound columns
+        },
+        lambda tmp: stage_blocks(
+            spark, r2.output_path, r3.output_path, tmp,
+            avgdl=avgdl, stride=stride, block_size=block_size,
+            n_term_buckets=n_term_buckets,
+        ) or {"stride": stride, "n_salt_ranges": n_salt_ranges},
+        force=force,
+    )
+
+    runner.run(
+        "doc_lens",
+        {
+            "upstream": runner.upstream_hash("doc_map"),
+            "stride": stride,
             "v": 1,
         },
-        build_blocks,
+        lambda tmp: stage_doc_lens(spark, r1.output_path, tmp, stride=stride) or {},
         force=force,
     )
 
     stats = {
         "n_docs": n_docs,
         "avgdl": avgdl,
+        "total_len": total_len,
         "stride": stride,
         "block_size": block_size,
         "n_term_buckets": n_term_buckets,
         "corpus_id": corpus_id,
+        # True ⇒ every block's stored max_score was computed with the
+        # CURRENT stats/idf (full build). Delta compaction flips this
+        # and the query side switches to the stats-independent
+        # (max_tf, min_dl) bound.
+        "bounds_exact": True,
     }
     with open(paths.stats_path + ".tmp", "w") as f:
         json.dump(stats, f, indent=1)

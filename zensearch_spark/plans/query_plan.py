@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from zensearch_spark.catalog import read_table
 from zensearch_spark.functions.tokenizer import tokenize_query
 from zensearch_spark.operators.wand import wand_topk, wand_topk_batch
 from zensearch_spark.plans.index_build import IndexPaths
@@ -35,12 +36,24 @@ class BM25Index:
         self.spark = spark
         self.paths = IndexPaths.load(root)
         self.stats = self.paths.stats
-        self._blocks = spark.read.parquet(self.paths.blocks)
+        # each table may span several segments (base build + delta
+        # compactions); partitioned dirs must be read per-root and
+        # unioned (Spark refuses multi-root partition discovery)
+        self._blocks = self._read_union(self.paths.blocks_paths())
         if cache_blocks:
             self._blocks = self._blocks.cache()
-        self._term_dict = spark.read.parquet(self.paths.term_dict)
+        self._doc_lens = self._read_union(self.paths.doc_lens_paths())
+        self._bounds_exact = bool(self.stats.get("bounds_exact", True))
+        self._term_dict = read_table(spark, self.paths.term_dict_path())
         self._term_cache: dict[str, tuple[int, float]] | None = None
         self._term_cache_tried = False
+
+    def _read_union(self, paths: list[str]) -> DataFrame:
+        dfs = [read_table(self.spark, p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def _load_term_cache(self) -> dict[str, tuple[int, float]] | None:
         if self._term_cache_tried:
@@ -88,11 +101,13 @@ class BM25Index:
         return wand_topk(
             self.spark,
             self._blocks,
+            self._doc_lens,
             self.term_rows(query),
             query,
             k,
             avgdl=float(self.stats["avgdl"]),
             n_term_buckets=int(self.stats["n_term_buckets"]),
+            bounds_exact=self._bounds_exact,
         )
 
     def topk_batch(self, queries: list[tuple[int, str, int]]) -> DataFrame:
@@ -102,10 +117,12 @@ class BM25Index:
         return wand_topk_batch(
             self.spark,
             self._blocks,
+            self._doc_lens,
             self.term_rows(*[q for _, q, _ in queries]),
             queries,
             avgdl=float(self.stats["avgdl"]),
             n_term_buckets=int(self.stats["n_term_buckets"]),
+            bounds_exact=self._bounds_exact,
         )
 
     def topk_hydrated(self, query: str, k: int) -> DataFrame:
@@ -114,7 +131,7 @@ class BM25Index:
         index.ts:186-197), but truly top-k (the reference renders the
         full corpus ranking; its .slice(0,10) is commented out)."""
         top = self.topk(query, k)
-        doc_map = self.spark.read.parquet(self.paths.doc_map)
+        doc_map = self._read_union(self.paths.doc_map_paths())
         hydrate_cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool", "ts")
                         if c in doc_map.columns]
         return (
@@ -128,7 +145,7 @@ class BM25Index:
         from zensearch_spark.functions.tokenizer import with_tokens
         from zensearch_spark.operators.naive_scorer import naive_topk
 
-        doc_map = self.spark.read.parquet(self.paths.doc_map)
+        doc_map = self._read_union(self.paths.doc_map_paths())
         docs = doc_map.select(
             "doc_id", with_tokens("text").alias("tokens"), "doc_len"
         )
