@@ -65,8 +65,17 @@ def assign_doc_ids(
         ),
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in key_cols])
+    # pin the stamp pass's partitioning explicitly: without this, the
+    # window's ENSURE_REQUIREMENTS hash shuffle on _pid is
+    # AQE-coalescible — at small-to-medium key volumes AQE folds it to
+    # ~1 partition and the rank runs SERIALLY (measured: the whole
+    # doc_map stage flat at 1.0x speedup 8→32 cores). A user-specified
+    # repartition width is exempt from AQE coalescing, and
+    # HashPartitioning(_pid, n) satisfies the window's required
+    # distribution, so no second shuffle follows.
     out = (
-        keyed.join(F.broadcast(off_df), "_pid")
+        keyed.repartition(num_ranges, "_pid")
+        .join(F.broadcast(off_df), "_pid")
         .withColumn(
             "doc_id", (F.col("_offset") + F.row_number().over(w) - 1).cast("long")
         )

@@ -226,17 +226,34 @@ def _parquet_footer_stats(path: str, col: str) -> tuple[int, int | None, int | N
 # (b) jobs/stage_scaling.py times each one in ISOLATION at two
 # parallelism levels for the north_rule scaling evidence.
 
+BROADCAST_IDS_MAX = 20_000_000
+
+
 def stage_doc_map(spark: SparkSession, corpus: DataFrame, out_path: str) -> int:
     """Stable docIDs + doc_len; returns n_docs. Dense-id invariant is
     verified from parquet footers (ADVICE round 1) — a recomputed
     range intermediate would shift ids, and the build must abort
-    rather than silently emit wrong ranks."""
-    stamped = assign_doc_ids(corpus)
-    out = stamped.withColumn("doc_len", F.size(with_tokens("text")))
-    # rows leave the stamping window already sorted by key within
-    # each range partition, i.e. by doc_id — no extra sort needed
-    # (an explicit sortWithinPartitions here was measured as pure
-    # overhead and removed; locality is identical)
+    rather than silently emit wrong ranks.
+
+    Scale shape (round-2 fix for the flat doc_map scaling): ranks are
+    computed over a KEYS-ONLY projection — (conv_id, turn_idx), ~20
+    bytes/row — so the range shuffle, persist and rank window never
+    touch the text payload. The id map is then joined back to the
+    unshuffled corpus scan: broadcast below BROADCAST_IDS_MAX rows
+    (the id map is dimension-shaped), shuffle hash/sort-merge join
+    above it (the 10^12-turn path — still strictly cheaper than
+    range-shuffling text, which pays sort + spill on the wide rows).
+    The previous shape moved every text byte through
+    repartitionByRange + MEMORY_AND_DISK persist + a window sort —
+    memory-bandwidth-bound, which is why adding cores did nothing.
+    """
+    keys = corpus.select("conv_id", "turn_idx")
+    stamped = assign_doc_ids(keys)
+    n_docs = int(getattr(stamped, "_zs_total", 0) or 0)
+    ids = stamped if n_docs > BROADCAST_IDS_MAX else F.broadcast(stamped)
+    out = corpus.join(ids, ["conv_id", "turn_idx"]).withColumn(
+        "doc_len", F.size(with_tokens("text"))
+    )
     write_table(out, out_path)
     expected = getattr(stamped, "_zs_total", None)
     unpersist_intermediates(stamped)

@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.local.dir", local_dir or "/tmp")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bigger Arrow batches amortize per-batch pandas conversion in
+        # mapInPandas stages (measured: 540k-turn block encode
+        # 16.3 s → 12.9 s at local[32]); raises per-task memory by
+        # ~batch × row-width, well within executor budgets
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         # Cap GC threads: the JVM defaults to ~23 parallel GC threads at
