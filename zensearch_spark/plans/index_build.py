@@ -226,7 +226,12 @@ def _parquet_footer_stats(path: str, col: str) -> tuple[int, int | None, int | N
 # (b) jobs/stage_scaling.py times each one in ISOLATION at two
 # parallelism levels for the north_rule scaling evidence.
 
-BROADCAST_IDS_MAX = 20_000_000
+# above this the id map goes through a shuffle join instead of a
+# driver broadcast: collecting + re-broadcasting the map is SERIAL
+# driver work that grows with the corpus (measured: at 2.16M ids the
+# broadcast path pinned the whole doc_map stage at ~15 s regardless of
+# core count; the shuffle join scales)
+BROADCAST_IDS_MAX = 1_000_000
 
 
 def stage_doc_map(spark: SparkSession, corpus: DataFrame, out_path: str) -> int:

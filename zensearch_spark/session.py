@@ -64,7 +64,8 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions",
             "-Djava.net.preferIPv4Stack=true "
-            "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+            f"-XX:ParallelGCThreads={os.environ.get('SPARK_GRAFT_GC_THREADS', '8')} "
+            "-XX:ConcGCThreads=2",
         )
     )
     spark = builder.getOrCreate()
