@@ -114,6 +114,49 @@ def test_recompaction_is_noop(compacted, spark):
     assert res2["n_docs"] == inc.stats["n_docs"]
 
 
+def test_two_generation_ids_disjoint(compacted, spark, tmp_path_factory):
+    """Second compaction must offset from the persisted id
+    HIGH-WATERMARK, not from n_docs: stride gaps make n_docs lag
+    max_doc_id+1, and a count-based offset re-enters the previous
+    delta's id range (duplicate doc_ids, overlapping sidecar ranges —
+    ADVICE round 2). Two generations → all doc_ids unique, queries
+    still rank-identical to a from-scratch build over all three
+    corpora."""
+    _inc, _full, root, _landing, ingest_out, _res = compacted
+    base = tmp_path_factory.mktemp("compact_g2")
+    n_c = 24
+    landing_c = str(base / "landing_c")
+    corpus_c = spark.createDataFrame(
+        _gen_convs(np.arange(N_A + N_B, N_A + N_B + n_c), seed=42)
+    )
+    corpus_c.write.mode("overwrite").parquet(landing_c)
+    # the gen-1 delta dir is STALE for corpus C (covers only B): the
+    # coverage gate must detect 0/n coverage and fall back to
+    # re-tokenising — not silently index C with zero postings
+    res = compact_index(spark, root, landing_c, f"{ingest_out}/postings_delta")
+    assert res["added"] > 0
+    inc2 = BM25Index(spark, root)
+
+    dm = spark.read.parquet(*inc2.paths.doc_map_paths())
+    n_rows = dm.count()
+    assert dm.select("doc_id").distinct().count() == n_rows, "duplicate doc_ids"
+    assert n_rows == inc2.stats["n_docs"]
+    assert inc2.stats["next_doc_id"] >= inc2.stats["n_docs"]
+
+    root_full3 = str(base / "idx_full3")
+    corpus_all = spark.createDataFrame(
+        _gen_convs(np.arange(N_A + N_B + n_c), seed=42)
+    )
+    build_index(spark, corpus_all, root_full3, corpus_id="compact-ABC",
+                n_salt_ranges=6, n_term_buckets=8)
+    full3 = BM25Index(spark, root_full3)
+    for qid in QIDS[:3]:
+        q = reference_query_set()[qid]
+        got = _hydrated(inc2, q["query_text"], q["k"])
+        want = _hydrated(full3, q["query_text"], q["k"])
+        assert got == want, (qid, got[:5], want[:5])
+
+
 def test_new_docs_reachable(compacted):
     """A term that only exists in corpus B must be findable."""
     inc, full, *_ = compacted

@@ -121,6 +121,24 @@ def test_ann_probe_scan_prunes_partitions(spark, clustered, clustered_sketch):
     assert len(probe_buckets(q, n_planes=8, probe_hamming=1)) == 9
 
 
+def test_batch_matches_single_probes(spark, clustered, clustered_sketch):
+    """ann_topk_batch (one job, union probe filter, per-query window
+    re-rank) must return exactly the per-query ann_topk_indexed rows."""
+    from zensearch_spark.operators.similarity import ann_topk_batch, ann_topk_indexed
+
+    qids = [0, 7, 42]
+    queries = [(vid, _qvec(clustered, vid), 10) for vid in qids]
+    batch = {}
+    for r in ann_topk_batch(spark, clustered_sketch, queries).collect():
+        batch.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    for vid, q, k in queries:
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in ann_topk_indexed(spark, clustered_sketch, q, k=k).collect()
+        ]
+        assert batch.get(vid, []) == single, vid
+
+
 def test_indexed_matches_inline_ann(spark, clustered, clustered_sketch):
     """Persisted-sketch path returns the same rows as the inline
     sketch path (same planes/seed → same buckets → same candidates)."""

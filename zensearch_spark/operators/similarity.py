@@ -128,21 +128,35 @@ def build_ann_index(
     term_bucket). L independent tables are the standard LSH recall
     lever — a neighbor is found if it collides in ANY table
     (recall = 1-(1-p)^L) — and each table's probe set stays tiny.
-    At 100 TB this is the difference between a per-query full scan +
-    n_planes dot products per row (the round-1 shape the judge
-    flagged) and touching |tables·probes| / 2^n_planes of the data."""
-    sketches = [
-        hyperplane_sketch(
-            emb, dim, n_planes=n_planes, seed=seed, table=t,
-            id_col=id_col, vec_col=vec_col,
-        ).withColumn("table_id", F.lit(t))
-        for t in range(n_tables)
-    ]
-    allsk = sketches[0]
-    for s in sketches[1:]:
-        allsk = allsk.unionByName(s)
+
+    ONE scan of the embeddings table computes all L bucket columns
+    (they are all projections of the same row), then stack() fans
+    them out to (table_id, bucket) rows — the round-2 shape (one
+    hyperplane_sketch scan per table, unioned) read the table L
+    times, which at 100 TB makes the build L× the dominant cost.
+    Each bucket column is referenced exactly once by the stack, so
+    Catalyst evaluates every dot product once per row (no expression
+    re-inlining)."""
+    cols = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed, t)
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            p = F.array(*[F.lit(float(x)) for x in planes[i]])
+            bit = (_dot(F.col(vec_col), p) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, i)
+        cols.append(bucket.alias(f"_b{t}"))
+    one_scan = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), *cols
+    )
+    stack_args = ", ".join(f"{t}, _b{t}" for t in range(n_tables))
+    fanned = one_scan.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"stack({n_tables}, {stack_args}) AS (table_id, bucket)"),
+    )
     (
-        allsk.repartition("table_id", "bucket")
+        fanned.repartition("table_id", "bucket")
         .write.mode("overwrite")
         .partitionBy("table_id", "bucket")
         .parquet(out_path)
@@ -182,6 +196,68 @@ def ann_topk_indexed(
         .dropDuplicates(["vec_id"])
     )
     return cosine_topk(cand, query_vec, k=k, id_col="vec_id", vec_col="embedding")
+
+
+def ann_topk_batch(
+    spark,
+    index_path: str,
+    queries: list[tuple[int, list[float], int]],
+    n_planes: int = 8,
+    n_tables: int = 4,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Whole query set over the persisted sketch in ONE Spark job —
+    the vector twin of the WAND batch evaluator (operators/wand.py
+    wand_topk_batch): probe q/s becomes a throughput number instead
+    of a per-job-overhead number.
+
+    ``queries`` = [(query_id, query_vec, k)]. Plan: the UNION of all
+    queries' probe buckets forms one literal partition filter (files
+    of unprobed buckets are never read), a broadcast (query_id,
+    table_id, bucket) map re-associates candidates to queries, and a
+    broadcast (query_id, qvec, k) row supplies the per-query vector
+    for the exact-cosine re-rank + per-query window top-k. Returns
+    (query_id, vec_id, cosine) ordered by (query_id, rank).
+    """
+    from pyspark.sql import Window
+
+    probe_rows: list[tuple[int, int, int]] = []
+    by_table: dict[int, set[int]] = {t: set() for t in range(n_tables)}
+    qrows = []
+    for qid, vec, k in queries:
+        qrows.append((int(qid), [float(x) for x in vec], int(k)))
+        for t in range(n_tables):
+            for b in probe_buckets(vec, n_planes, probe_hamming, seed, table=t):
+                probe_rows.append((int(qid), t, int(b)))
+                by_table[t].add(int(b))
+    cond = None
+    for t in range(n_tables):
+        c = (F.col("table_id") == t) & F.col("bucket").isin(sorted(by_table[t]))
+        cond = c if cond is None else (cond | c)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id int, table_id int, bucket bigint"
+    )
+    qdf = spark.createDataFrame(qrows, "query_id int, qvec array<double>, k int")
+    cand = (
+        spark.read.parquet(index_path)
+        .filter(cond)  # literal predicate → partition pruning
+        .withColumn("bucket", F.col("bucket").cast("bigint"))
+        .join(F.broadcast(probes), ["table_id", "bucket"])
+        .dropDuplicates(["query_id", "vec_id"])
+        .join(F.broadcast(qdf), "query_id")
+    )
+    raw = _dot(F.col("embedding"), F.col("qvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_raw"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", "k", raw.alias("_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("k"))
+        .orderBy("query_id", "rn")
+        .select("query_id", "vec_id", F.round("_raw", 6).alias("cosine"))
+    )
 
 
 def ann_topk(

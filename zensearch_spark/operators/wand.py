@@ -80,7 +80,26 @@ class _DocLens:
             self.arr[fd - self.base: fd - self.base + n] = decode_dl_chunk(buf)
 
     def lookup(self, docs: np.ndarray) -> np.ndarray:
-        return self.arr[docs - self.base]
+        if not len(docs):
+            return np.empty(0, np.int64)
+        idx = docs - self.base
+        # a posting doc outside the sidecar span would otherwise wrap
+        # (negative index) or crash opaquely; a zero length inside the
+        # span is a gap — a doc WITH a posting always has ≥1 token.
+        # Either means doc_id bookkeeping broke (e.g. id reuse across
+        # compaction generations) — surface it, never mis-score.
+        if (idx < 0).any() or (idx >= len(self.arr)).any():
+            raise RuntimeError(
+                "doc_len sidecar inconsistency: posting doc_id outside "
+                f"sidecar span [{self.base}, {self.base + len(self.arr)})"
+            )
+        out = self.arr[idx]
+        if (out <= 0).any():
+            raise RuntimeError(
+                "doc_len sidecar gap: doc with postings has no stored "
+                "length — index doc_id ranges are inconsistent"
+            )
+        return out
 
 
 class _TermBlocks:

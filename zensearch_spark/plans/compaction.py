@@ -40,6 +40,12 @@ encode runs' block ranges, and (c) relative tie-break order inside a
 delta matches a from-scratch build. Duplicate keys (already indexed
 or repeated in the landing data) are skipped — the reference's
 duplicate-key-skip semantics (database.ts:59-67).
+
+The offset base is the persisted id HIGH-WATERMARK (stats.next_doc_id),
+NOT n_docs: each generation's stride alignment leaves a gap above the
+previous range, so a count-based offset would re-enter the previous
+delta's id range on the second compaction (duplicate doc_ids across
+segments, silently-overlapping sidecar ranges — ADVICE round 2).
 """
 
 from __future__ import annotations
@@ -82,6 +88,10 @@ def compact_index(
     block_size = int(st["block_size"])
     n_term_buckets = int(st["n_term_buckets"])
     n_old = int(st["n_docs"])
+    # id high-watermark: one past the largest doc_id ever issued.
+    # Pre-watermark indexes (single-generation) have dense 0..n-1 ids,
+    # so n_docs is the correct fallback for them.
+    next_old = int(st.get("next_doc_id", n_old))
     total_old = int(st.get("total_len") or round(float(st["avgdl"]) * n_old))
     gen = len(paths.doc_map_paths())
 
@@ -96,10 +106,10 @@ def compact_index(
     if fresh.limit(1).count() == 0:  # nothing new — no-op (idempotent rerun)
         return {"added": 0, "n_docs": n_old, "generation": gen - 1}
 
-    # next stride boundary: new ids never share a salt range with old
-    # ones, so every (term, salt) group holds blocks of ONE encode run
-    # and every sidecar range stays dense
-    offset = ((n_old + stride - 1) // stride) * stride
+    # next stride boundary ABOVE THE WATERMARK: new ids never share a
+    # salt range with old ones, so every (term, salt) group holds
+    # blocks of ONE encode run and every sidecar range stays dense
+    offset = ((next_old + stride - 1) // stride) * stride
 
     stamped = assign_doc_ids(fresh)
     delta_dm = stamped.withColumn(
@@ -124,9 +134,10 @@ def compact_index(
     # re-tokenising the landing rows so compaction also works from a
     # bare landing dir. Either path produces identical rows — the
     # ingest uses the same with_tokens rule.
+    new_postings = None
     if deltas_dir and os.path.isdir(deltas_dir):
         deltas = spark.read.parquet(deltas_dir)
-        new_postings = (
+        from_deltas = (
             deltas.join(
                 new_dm.select("conv_id", "turn_idx", "doc_id"),
                 ["conv_id", "turn_idx"],
@@ -136,7 +147,21 @@ def compact_index(
             .groupBy("term", "doc_id")
             .agg(F.max("tf").alias("tf"), F.max("doc_len").alias("doc_len"))
         )
-    else:
+        # coverage gate (ADVICE round 2): the inner join silently drops
+        # any fresh doc the delta stream hasn't caught up to — it would
+        # be counted in n_docs/doc_map yet have zero postings. Every
+        # fresh doc with ≥1 token must appear in the joined deltas;
+        # otherwise fall back to re-tokenising the landing rows.
+        covered = from_deltas.select("doc_id").distinct().count()
+        expected = new_dm.filter(F.col("doc_len") > 0).count()
+        if covered == expected:
+            new_postings = from_deltas
+        else:
+            print(
+                f"[compact] delta dir covers {covered}/{expected} fresh "
+                "docs — stale/partial deltas, re-tokenising landing rows",
+            )
+    if new_postings is None:
         new_postings = (
             new_dm.select(
                 "doc_id", "doc_len", F.explode(with_tokens("text")).alias("term")
@@ -231,6 +256,7 @@ def compact_index(
     st.update(
         {
             "n_docs": n_total,
+            "next_doc_id": offset + n_new,
             "avgdl": avgdl,
             "total_len": total_len,
             "segments": segs,

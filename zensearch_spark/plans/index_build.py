@@ -486,6 +486,10 @@ def build_index(
 
     stats = {
         "n_docs": n_docs,
+        # id high-watermark (one past the largest issued doc_id) —
+        # compaction offsets from THIS, never from the doc count, so
+        # stride-alignment gaps can't cause id reuse across generations
+        "next_doc_id": n_docs,
         "avgdl": avgdl,
         "total_len": total_len,
         "stride": stride,
