@@ -66,9 +66,11 @@ class BM25Index:
         n_terms = None
         if os.path.exists(manifest):
             with open(manifest) as f:
-                n_terms = sum(
-                    p["rows"] or 0 for p in json.load(f)["partitions"]
-                )
+                parts = json.load(f)["partitions"]
+            # a summary-only lineage (huge stage, rows unknown) must
+            # NOT read as "0 terms" and wrongly enable the cache
+            if all(p.get("rows") is not None for p in parts):
+                n_terms = sum(p["rows"] for p in parts)
         if n_terms is not None and n_terms <= self.TERM_CACHE_MAX:
             pdf = self._term_dict.toPandas()
             self._term_cache = {

@@ -53,6 +53,11 @@ def get_spark(
         # ~batch × row-width, well within executor budgets
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # MIN/MAX/COUNT aggs with no filter/group answer from parquet
+        # footer statistics instead of scanning data pages — makes the
+        # distributed dense-id invariant check (plans/index_build.py
+        # _table_id_stats) metadata-only at any scale
+        .config("spark.sql.parquet.aggregatePushDown", "true")
         .config("spark.ui.enabled", "false")
         # Cap GC threads: the JVM defaults to ~23 parallel GC threads at
         # 32 CPUs, and GC+task thread oversubscription inside this VM
