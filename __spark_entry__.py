@@ -306,6 +306,18 @@ def _q_ann_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-dup pairs (dedup family, SURVEY training-
+    # data ops): EXACT all-pairs variant — oracle-checkable; the LSH-
+    # blocked scale path is similarity.embedding_neardup_lsh (recall-
+    # gated in tests/test_similarity.py on clustered data). Threshold
+    # 0.4 sits inside the i.i.d.-gaussian testdata's cosine range
+    # (max pairwise ≈ 0.51) so the entry returns real pairs.
+    from zensearch_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def _q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.functions.text import stopword_language_score
 
@@ -455,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
         "ann_topk_batch": _q_ann_topk_batch,
+        "emb_neardup": _q_emb_neardup,
         "lang_stopword": _q_lang_stopword,
         "quality": _q_quality,
         "bpe_count": _q_bpe_count,
@@ -812,7 +825,21 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_lsh_sql(),
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
-        # ann_topk: intentionally no oracle (approximate operator)
+        # ann_topk / ann_topk_batch: intentionally no oracle (approximate)
+        "emb_neardup": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_inner_product(a.v, b.v)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_inner_product(a.v, b.v)
+                        / (sqrt(list_inner_product(a.v, a.v))
+                           * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4
+        """,
         "lang_stopword": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents)
             SELECT doc_id, len(tk)::BIGINT AS n_tokens,

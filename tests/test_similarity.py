@@ -121,6 +121,31 @@ def test_ann_probe_scan_prunes_partitions(spark, clustered, clustered_sketch):
     assert len(probe_buckets(q, n_planes=8, probe_hamming=1)) == 9
 
 
+def test_embedding_neardup_lsh_vs_exact(spark, clustered):
+    """LSH-blocked near-dup pairs: precision must be 1 (candidates are
+    exact-cosine verified) and recall high on clustered embeddings —
+    within-cluster pairs collide in ≥1 of the 4 tables."""
+    from zensearch_spark.operators.similarity import (
+        embedding_neardup_lsh, embedding_neardup_pairs,
+    )
+
+    thr = 0.8
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(clustered, threshold=thr).collect()
+    }
+    assert len(exact) > 100, "clustered fixture must produce near-dup pairs"
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_lsh(
+            clustered, threshold=thr, dim=DIM, n_planes=8, n_tables=4
+        ).collect()
+    }
+    assert lsh <= exact, "precision must be 1 (exact verify)"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_batch_matches_single_probes(spark, clustered, clustered_sketch):
     """ann_topk_batch (one job, union probe filter, per-query window
     re-rank) must return exactly the per-query ann_topk_indexed rows."""

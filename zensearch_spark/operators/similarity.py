@@ -198,6 +198,107 @@ def ann_topk_indexed(
     return cosine_topk(cand, query_vec, k=k, id_col="vec_id", vec_col="embedding")
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cosine ≥ threshold) — the oracle-checkable baseline of the dedup
+    family's embedding axis (SURVEY training-data ops). All-pairs
+    self-join: O(n²/2) cosines, fine for a capped/sampled slice and
+    for verification; the 100 TB path is embedding_neardup_lsh below,
+    which prunes candidates through the same sign-sketch buckets the
+    ANN index uses and exact-verifies only colliding pairs."""
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = e.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(raw, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs via sign-sketch blocking: one scan computes all
+    L bucket columns (same stack shape as build_ann_index), candidates
+    are pairs sharing a (table_id, bucket) in ANY table, and ONLY
+    candidates pay an exact cosine (precision 1 vs the exact operator;
+    recall = LSH collision probability, gated in tests on clustered
+    data). ``max_bucket_size`` drops degenerate buckets (d docs emit
+    d²/2 candidates) exactly like the MinHash-LSH cap."""
+    cols = []
+    for t in range(n_tables):
+        planes = _planes(dim, n_planes, seed, t)
+        bucket = F.lit(0).cast("long")
+        for i in range(n_planes):
+            p = F.array(*[F.lit(float(x)) for x in planes[i]])
+            bit = (_dot(F.col(vec_col), p) > 0).cast("long")
+            bucket = bucket + F.shiftleft(bit, i)
+        cols.append(bucket.alias(f"_b{t}"))
+    stack_args = ", ".join(f"{t}, _b{t}" for t in range(n_tables))
+    banded = emb.select(
+        F.col(id_col).alias("vid"), *cols
+    ).select(
+        "vid", F.expr(f"stack({n_tables}, {stack_args}) AS (table_id, bucket)")
+    )
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("table_id", "bucket")
+            .agg(F.count("*").alias("bsz"))
+            .filter(F.col("bsz") > max_bucket_size)
+        )
+        banded = banded.join(big, ["table_id", "bucket"], "left_anti")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    e = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    ea = e.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    eb = e.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    raw = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(raw, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk_batch(
     spark,
     index_path: str,
