@@ -1,0 +1,122 @@
+"""Watermarked event-time windowed aggregation (SURVEY.md §2.8).
+
+The reference has no streaming operators; this is the §2.8 widening
+the round instructions call for ("Structured Streaming for streams;
+watermarks + windowed aggs for late data"): a file-source stream of
+events rolled up into event-time windows with a late-data watermark.
+
+Semantics under the two supported output modes:
+
+- ``append``  — a window row is emitted exactly once, when the
+  watermark (max seen ts − delay) passes the window end; rows arriving
+  LATER than the watermark are dropped. State for closed windows is
+  freed — the property that bounds state at 10^12 events.
+- ``update`` (default here) — every micro-batch emits the windows it
+  changed; late-but-within-watermark rows update their window.
+
+Checkpoint-resumable: the watermark and window state live in the
+streaming checkpoint, so an availableNow run processes new files from
+where the last run stopped (tests restart the query to advance the
+watermark across runs — exactly how a long-lived job behaves across
+micro-batches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+def windowed_rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """readStream over an events landing dir → watermarked event-time
+    window aggregate. Caller attaches the sink (writeStream) — tests
+    use a memory sink; production appends to a rollup table."""
+    ev = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(events_dir)
+    )
+    return (
+        ev.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_rollup_once(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    sink_table: str | None = None,
+    sink_dir: str | None = None,
+    window: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    mode: str = "update",
+) -> None:
+    """Process all currently-available event files (availableNow);
+    resumes from ``checkpoint_dir``. Repeated calls advance the
+    persisted watermark exactly like successive micro-batches of a
+    long-lived query.
+
+    Sink: ``sink_dir`` → append-only parquet table (the production
+    shape — checkpoint-recoverable, exactly-once file commits via the
+    sink's own log); ``sink_table`` → in-memory table for inspection
+    (NOT checkpoint-recoverable — single-run debugging/tests only).
+    """
+    agg = windowed_rollup_stream(spark, events_dir, window, watermark_delay)
+    w = agg.writeStream.outputMode(mode).option(
+        "checkpointLocation", checkpoint_dir
+    ).trigger(availableNow=True)
+    if sink_dir is not None:
+        q = w.format("parquet").option("path", sink_dir).start()
+    else:
+        q = w.format("memory").queryName(sink_table).start()
+    q.awaitTermination()
+
+
+def batch_rollup(
+    spark: SparkSession, events_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Batch twin of the streaming aggregate — the oracle the tests
+    compare converged streaming state against."""
+    ev = spark.read.schema(EVENT_SCHEMA).parquet(events_dir)
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
