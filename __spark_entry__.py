@@ -315,7 +315,23 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (max pairwise ≈ 0.51) so the entry returns real pairs.
     from zensearch_spark.operators.similarity import embedding_neardup_pairs
 
-    return embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    # vec_id < 1000 cap: the zip_with/aggregate fold is the slow exact
+    # baseline (per-element interpreted lambda) — capped so the bench
+    # entry stays honest without dominating the battery; the oracle
+    # mirrors the cap. sf0.01 has 500 vectors, so the gate's results
+    # are the full uncapped set. The uncapped scale path is
+    # emb_neardup_gemm below.
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+def _q_emb_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same pairs, block-matrix NumPy GEMM engine (one BLAS multiply
+    # per block pair instead of a per-element Catalyst lambda) —
+    # uncapped: this is the shape that survives scale
+    from zensearch_spark.operators.similarity import embedding_neardup_gemm
+
+    return embedding_neardup_gemm(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def _q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_batch": _q_ann_topk_batch,
         "emb_neardup": _q_emb_neardup,
+        "emb_neardup_gemm": _q_emb_neardup_gemm,
         "lang_stopword": _q_lang_stopword,
         "quality": _q_quality,
         "bpe_count": _q_bpe_count,
@@ -740,6 +757,29 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _emb_neardup_sql(capped: bool) -> str:
+    """Oracle for both exact near-dup engines (JVM fold and NumPy
+    GEMM compute the same float64 cosines; 6-dp rounding on all three
+    sides absorbs the ~1e-15 reassociation noise). ``capped`` mirrors
+    the JVM entry's vec_id < 1000 bench cap — a no-op at the sf0.01
+    gate (500 vectors)."""
+    where = "WHERE vec_id < 1000" if capped else ""
+    return f"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings {where}
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_inner_product(a.v, b.v)
+                     / (sqrt(list_inner_product(a.v, a.v))
+                        * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v)
+                    / (sqrt(list_inner_product(a.v, a.v))
+                       * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_oracle(FLAGSHIP_QUERY, FLAGSHIP_K),
@@ -826,20 +866,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         # ann_topk / ann_topk_batch: intentionally no oracle (approximate)
-        "emb_neardup": """
-            WITH e AS (
-              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-              FROM embeddings
-            )
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_inner_product(a.v, b.v)
-                         / (sqrt(list_inner_product(a.v, a.v))
-                            * sqrt(list_inner_product(b.v, b.v))), 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_inner_product(a.v, b.v)
-                        / (sqrt(list_inner_product(a.v, a.v))
-                           * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.4
-        """,
+        "emb_neardup": _emb_neardup_sql(capped=True),
+        "emb_neardup_gemm": _emb_neardup_sql(capped=False),
         "lang_stopword": f"""
             WITH t AS (SELECT doc_id, {_TOK} AS tk FROM documents)
             SELECT doc_id, len(tk)::BIGINT AS n_tokens,

@@ -146,6 +146,29 @@ def test_embedding_neardup_lsh_vs_exact(spark, clustered):
     assert recall >= 0.8, recall
 
 
+def test_gemm_matches_exact_pairs(spark, clustered):
+    """Block-matrix GEMM engine returns exactly the zip_with/aggregate
+    engine's pairs and 6-dp cosines (block=128 → a real multi-block
+    grid over the 500-vector fixture)."""
+    from zensearch_spark.operators.similarity import (
+        embedding_neardup_gemm, embedding_neardup_pairs,
+    )
+
+    thr = 0.8
+    exact = sorted(
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_neardup_pairs(clustered, threshold=thr).collect()
+    )
+    gemm = sorted(
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_neardup_gemm(
+            clustered, threshold=thr, block=128
+        ).collect()
+    )
+    assert len(exact) > 100
+    assert gemm == exact
+
+
 def test_batch_matches_single_probes(spark, clustered, clustered_sketch):
     """ann_topk_batch (one job, union probe filter, per-query window
     re-rank) must return exactly the per-query ann_topk_indexed rows."""

@@ -159,6 +159,11 @@ def build_ann_index(
         fanned.repartition("table_id", "bucket")
         .write.mode("overwrite")
         .partitionBy("table_id", "bucket")
+        # snappy, not the session's zstd: the write opens one file per
+        # (table_id, bucket) dir — n_tables·2^n_planes writer inits —
+        # and zstd context setup dominates them; the float embedding
+        # payload barely compresses either way
+        .option("compression", "snappy")
         .parquet(out_path)
     )
 
@@ -228,6 +233,120 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b", F.round(raw, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_gemm(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    block: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs via BLOCK-MATRIX NumPy GEMM: vectors are
+    grid-partitioned into ⌈n/block⌉ row blocks, the upper-triangular
+    block-pair grid is exploded into tasks, and each task multiplies
+    two (≤block × dim) float64 matrices — one BLAS gemm per block pair
+    instead of the Catalyst higher-order-function path's interpreted
+    per-element lambda. Same pairs as embedding_neardup_pairs; float
+    sums may differ at ~1e-15 (BLAS reassociates), so results are
+    rounded to 6 dp like every score surface.
+
+    Scale shape: work = B² /2 tasks of bounded size, shuffle =
+    each block replicated ≤B times (the standard dense all-pairs
+    cost); for corpus-scale dedup compose with the LSH blocker below
+    — this operator is the exact engine for inside-bucket verify or
+    moderate-n exact sweeps."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    blocked = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        (F.col(id_col) / F.lit(block)).cast("int").alias("blk"),
+    )
+
+    # pack each block ONCE into a single row (ids + row-normalized
+    # float64 matrix as bytes): the block-pair join then moves B²/2
+    # packed ROWS, never n² vector rows
+    pack_schema = T.StructType(
+        [
+            T.StructField("blk", T.IntegerType(), False),
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("ids", T.BinaryType(), False),
+            T.StructField("mat", T.BinaryType(), False),
+        ]
+    )
+
+    def pack(key, pdf: pd.DataFrame):
+        ids = pdf["vid"].to_numpy(np.int64)
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame(
+            [
+                {
+                    "blk": int(key[0]),
+                    "n": len(ids),
+                    "ids": ids.tobytes(),
+                    "mat": mat.tobytes(),
+                }
+            ]
+        )
+
+    packed = blocked.groupBy("blk").applyInPandas(pack, pack_schema)
+    blk_ids = sorted(
+        int(r["blk"]) for r in blocked.select("blk").distinct().collect()
+    )
+    grid_df = spark.createDataFrame(
+        [(a, b) for a in blk_ids for b in blk_ids if a <= b],
+        "blk_a int, blk_b int",
+    )
+    pa = packed.select(
+        F.col("blk").alias("blk_a"), F.col("n").alias("na"),
+        F.col("ids").alias("ids_a"), F.col("mat").alias("mat_a"),
+    )
+    pb = packed.select(
+        F.col("blk").alias("blk_b"), F.col("n").alias("nb"),
+        F.col("ids").alias("ids_b"), F.col("mat").alias("mat_b"),
+    )
+    joined = grid_df.join(pa, "blk_a").join(pb, "blk_b").repartition(
+        "blk_a", "blk_b"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType(), False),
+            T.StructField("vec_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                ida = np.frombuffer(r.ids_a, np.int64)
+                idb = np.frombuffer(r.ids_b, np.int64)
+                ma = np.frombuffer(r.mat_a, np.float64).reshape(r.na, -1)
+                mb = np.frombuffer(r.mat_b, np.float64).reshape(r.nb, -1)
+                cos = np.round(ma @ mb.T, 6)
+                ii, jj = np.nonzero(
+                    (cos >= threshold) & (ida[:, None] < idb[None, :])
+                )
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "vec_a": ida[ii],
+                                "vec_b": idb[jj],
+                                "cosine": cos[ii, jj],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return joined.mapInPandas(gemm, out_schema)
 
 
 def embedding_neardup_lsh(
