@@ -8,8 +8,53 @@ partition sizing).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
+
+
+def _scratch_write_probe(path: str, mb: int = 32) -> float:
+    """Seconds to write ``mb`` MB of fresh pages under ``path``."""
+    fn = os.path.join(path, f".zs_scratch_probe_{os.getpid()}")
+    buf = b"\0" * (1 << 20)
+    t0 = time.monotonic()
+    try:
+        with open(fn, "wb") as f:
+            for _ in range(mb):
+                f.write(buf)
+    finally:
+        try:
+            os.unlink(fn)
+        except OSError:
+            pass
+    return time.monotonic() - t0
+
+
+def pick_local_dir() -> str:
+    """Scratch dir for shuffle/spill, chosen by MEASUREMENT.
+
+    This guest has two failure modes on opposite days: the virtio disk
+    throttles to ~100 MB/s with multi-second writeback stalls (round-2
+    finding — tmpfs was the fix), and the host's memory-fault path
+    sometimes degrades to ~100-300 µs per fresh 4 KiB page (round-3
+    finding: touching 256 MB of NEW tmpfs/anon pages measured 12-24 s
+    after idle, while reused pages stay ~ns) — which poisons tmpfs
+    shuffle writes specifically (postings stage 4.99 s with /tmp
+    shuffle vs 20-130 s with /dev/shm shuffle in the same hour).
+    Neither choice is statically right, so probe a 32 MB write at
+    session build (~30 ms healthy) and fall back to /tmp when tmpfs
+    is in its pathological mode.
+    """
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    if not os.path.isdir("/dev/shm"):
+        return "/tmp"
+    cost = _scratch_write_probe("/dev/shm")
+    if cost > 0.25:
+        # second look — the first fresh-fault burst often warms the path
+        cost = _scratch_write_probe("/dev/shm")
+    return "/dev/shm/spark-local" if cost <= 0.25 else "/tmp/spark-local"
 
 
 def get_spark(
@@ -29,13 +74,17 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
         )
-    # Shuffle/scratch on tmpfs when available: this sandbox's virtio
-    # disk is throttled (~100 MB/s with multi-second writeback stalls)
-    # and shuffle spill through it serializes the whole job; RAM-backed
-    # scratch is the local-mode analog of a cluster's node-local NVMe.
-    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    # Shuffle/scratch location is probed, not assumed — see
+    # pick_local_dir for the two guest pathologies it arbitrates.
+    local_dir = pick_local_dir()
+    # glibc malloc retention for the driver-spawned Python workers:
+    # without these, every large NumPy/Arrow buffer is mmap'd and
+    # munmap'd per batch, and each reallocation re-faults fresh pages —
+    # catastrophic when the host fault path degrades (pick_local_dir
+    # docstring). TRIM=-1 keeps freed arena pages; MMAP_THRESHOLD=1G
+    # routes big buffers through the retained arena.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
