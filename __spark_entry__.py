@@ -240,19 +240,21 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _source_fingerprint(path: str) -> str:
     """Cheap content tag for a parquet file/dir: total bytes + newest
-    mtime. A regenerated embeddings table at the same path must not
-    silently reuse a stale cached sketch (ADVICE round 2)."""
-    total, newest = 0, 0.0
+    mtime at NANOSECOND resolution (ADVICE r3: whole-second mtimes let
+    a same-size regeneration within one second silently reuse a stale
+    sketch). A regenerated embeddings table at the same path must not
+    reuse a stale cached sketch (ADVICE round 2)."""
+    total, newest = 0, 0
     if os.path.isfile(path):
         st = os.stat(path)
-        total, newest = st.st_size, st.st_mtime
+        total, newest = st.st_size, st.st_mtime_ns
     else:
         for root, _dirs, files in os.walk(path):
             for f in files:
                 st = os.stat(os.path.join(root, f))
                 total += st.st_size
-                newest = max(newest, st.st_mtime)
-    return f"{total}_{int(newest)}"
+                newest = max(newest, st.st_mtime_ns)
+    return f"{total}_{newest}"
 
 
 def ensure_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[float]]:
@@ -270,6 +272,15 @@ def ensure_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[float]
     tag = sf_dir.strip("/").replace("/", "_")
     fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
     idx_path = os.path.join(scratch, f"zs_ann_sketch_mt4_{tag}_{fp}")
+    # evict sketches of OLDER fingerprints of this same sf_dir — every
+    # regeneration otherwise leaks a full sketch copy into tmpfs RAM
+    # (ADVICE r3)
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob(os.path.join(scratch, f"zs_ann_sketch_mt4_{tag}_*")):
+        if os.path.abspath(old) != os.path.abspath(idx_path):
+            _shutil.rmtree(old, ignore_errors=True)
     if not os.path.exists(os.path.join(idx_path, "_SUCCESS")):
         build_ann_index(emb, idx_path, dim=len(qvec), n_planes=8, n_tables=4)
     return idx_path, qvec
@@ -362,6 +373,28 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.operators.multimodal import as_media_table, decode_meta
 
     return decode_meta(as_media_table(_t(spark, sf_dir, "documents")))
+
+
+def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SURVEY M7: per-conversation result grouping — the flagship
+    # query's global top-k hits grouped per source (the documents
+    # table's conversation analog), ≤2 hits each, ranked within the
+    # group on (rounded score desc, doc_id). The index-backed twin is
+    # BM25Index.grouped_topk (tests/test_index_and_wand.py).
+    from pyspark.sql import Window
+
+    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    top = naive_topk(docs, FLAGSHIP_QUERY, FLAGSHIP_K).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        src.join(top, "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 2)
+        .select("source", "rn", "doc_id", "score")
+    )
 
 
 def _q_user_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_count": _q_bpe_count,
         "fingerprints": _q_fingerprints,
         "multimodal_meta": _q_multimodal_meta,
+        "grouped_topk": _q_grouped_topk,
         "user_first_event": _q_user_first_event,
         "rollup_agg": _q_rollup_agg,
         "json_extract_events": _q_json_extract_events,
@@ -922,6 +956,18 @@ def oracle_sql() -> dict[str, str]:
                              ELSE ascii(substr(text, 1, 1)) END % 24)::INT
                      AS fake_n_frames
             FROM documents
+        """,
+        "grouped_topk": f"""
+            WITH topk AS ({_bm25_oracle(FLAGSHIP_QUERY, FLAGSHIP_K)}),
+            s AS (SELECT doc_id, source FROM documents),
+            g AS (
+              SELECT s.source, topk.doc_id, topk.score,
+                     row_number() OVER (PARTITION BY s.source
+                                        ORDER BY topk.score DESC,
+                                                 topk.doc_id ASC) AS rn
+              FROM topk JOIN s USING (doc_id)
+            )
+            SELECT source, rn, doc_id, score FROM g WHERE rn <= 2
         """,
         "user_first_event": """
             SELECT user_id, event_id, ts, event_type FROM events

@@ -63,10 +63,16 @@ def main() -> None:
     log(f"[bench] ann_build (one-time prep): {timings['ann_build']}s")
 
     # -- 1. operator battery at sf_dir ---------------------------------
+    from zensearch_spark.caching import release
+
     for name, fn in entrymod.queries().items():
         t0 = time.monotonic()
-        force(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        force(df)
         timings[name] = round(time.monotonic() - t0, 3)
+        # free any operator-pinned persisted intermediates so one
+        # entry's cache never occupies executor memory during the next
+        release(df)
         log(f"[bench] {name}: {timings[name]}s")
 
     # -- 2. index build throughput --------------------------------------

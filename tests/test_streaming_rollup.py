@@ -109,3 +109,24 @@ def test_append_mode_watermark_closes_windows_and_drops_late(spark, tmp_path):
     ])
     run_rollup_once(spark, events, ckpt, sink_dir=sink, mode="append")
     assert _sink_rows(spark, sink) == closed
+
+
+def test_sink_mode_defaults_and_guards(spark, tmp_path):
+    """ADVICE r3: sink_dir defaults to append (the only mode the
+    parquet sink supports), no-sink and incompatible combos raise a
+    clear ValueError instead of failing inside stream start."""
+    import pytest
+
+    events = str(tmp_path / "events")
+    _write(spark, events, [(1, 1, "click", D(2024, 1, 1, 0, 10), 1.0)])
+    sink = str(tmp_path / "sink")
+    # default mode for a file sink: append — must just work
+    run_rollup_once(spark, events, str(tmp_path / "ckpt"), sink_dir=sink)
+    assert spark.read.parquet(sink).count() >= 0
+    with pytest.raises(ValueError, match="sink_dir or sink_table"):
+        run_rollup_once(spark, events, str(tmp_path / "ckpt2"))
+    with pytest.raises(ValueError, match="append"):
+        run_rollup_once(
+            spark, events, str(tmp_path / "ckpt3"), sink_dir=sink,
+            mode="update",
+        )

@@ -112,10 +112,14 @@ class BM25Index:
             bounds_exact=self._bounds_exact,
         )
 
-    def topk_batch(self, queries: list[tuple[int, str, int]]) -> DataFrame:
+    def topk_batch(
+        self, queries: list[tuple[int, str, int]], counters: dict | None = None
+    ) -> DataFrame:
         """(query_id, doc_id, score) for a whole query set in ONE
         Spark job — the throughput path (decoded blocks shared across
-        queries within each salt group)."""
+        queries within each salt group). ``counters``: optional
+        {"blocks_total", "blocks_decoded"} Spark accumulators for
+        block-skipping evidence."""
         return wand_topk_batch(
             self.spark,
             self._blocks,
@@ -125,6 +129,38 @@ class BM25Index:
             avgdl=float(self.stats["avgdl"]),
             n_term_buckets=int(self.stats["n_term_buckets"]),
             bounds_exact=self._bounds_exact,
+            counters=counters,
+        )
+
+    def grouped_topk(
+        self, query: str, k: int = 100, per_conv: int = 3
+    ) -> DataFrame:
+        """Per-conversation result grouping (SURVEY M7): the global
+        top-k hits, grouped by conversation — conversations ranked by
+        their best hit, at most ``per_conv`` hits shown per
+        conversation (the grouped rendering a transcript-search UI
+        wants; the reference renders a flat list). Returns (conv_id,
+        turn_idx, doc_id, score, rn) ordered by (best-hit score desc,
+        conv_id, rn). Window.partitionBy("conv_id") over ≤k rows — the
+        grouping costs one tiny shuffle AFTER the pruned WAND top-k,
+        never a corpus-sized one."""
+        from pyspark.sql import Window
+
+        top = self.topk(query, k)
+        doc_map = self._read_union(self.paths.doc_map_paths()).select(
+            "doc_id", "conv_id", "turn_idx"
+        )
+        w = Window.partitionBy("conv_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        wc = Window.partitionBy("conv_id")
+        return (
+            doc_map.join(F.broadcast(top), "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= per_conv)
+            .withColumn("conv_best", F.max("score").over(wc))
+            .orderBy(F.desc("conv_best"), F.asc("conv_id"), F.asc("rn"))
+            .select("conv_id", "turn_idx", "doc_id", "score", "rn")
         )
 
     def topk_hydrated(self, query: str, k: int) -> DataFrame:

@@ -77,7 +77,7 @@ def run_rollup_once(
     sink_dir: str | None = None,
     window: str = "1 hour",
     watermark_delay: str = "2 hours",
-    mode: str = "update",
+    mode: str | None = None,
 ) -> None:
     """Process all currently-available event files (availableNow);
     resumes from ``checkpoint_dir``. Repeated calls advance the
@@ -88,7 +88,20 @@ def run_rollup_once(
     shape — checkpoint-recoverable, exactly-once file commits via the
     sink's own log); ``sink_table`` → in-memory table for inspection
     (NOT checkpoint-recoverable — single-run debugging/tests only).
+
+    ``mode`` defaults per sink (ADVICE r3): the parquet file sink only
+    supports "append", the memory sink defaults to "update"; passing
+    an incompatible combination raises up front instead of failing
+    inside the stream start.
     """
+    if sink_dir is None and sink_table is None:
+        raise ValueError("run_rollup_once needs sink_dir or sink_table")
+    if mode is None:
+        mode = "append" if sink_dir is not None else "update"
+    if sink_dir is not None and mode != "append":
+        raise ValueError(
+            f"parquet file sink supports only mode='append', got {mode!r}"
+        )
     agg = windowed_rollup_stream(spark, events_dir, window, watermark_delay)
     w = agg.writeStream.outputMode(mode).option(
         "checkpointLocation", checkpoint_dir
