@@ -203,6 +203,9 @@ def test_verify_pairs_gemm_release_frees_cache(spark, clustered):
         embedding_neardup_pairs, verify_pairs_gemm,
     )
 
+    # delta assertion: other modules' session-scoped fixtures may hold
+    # their own caches — this test owns only what IT creates
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
     pairs = embedding_neardup_pairs(clustered, threshold=0.8).select(
         "vec_a", "vec_b"
     )
@@ -213,8 +216,10 @@ def test_verify_pairs_gemm_release_frees_cache(spark, clustered):
         for r in embedding_neardup_pairs(clustered, threshold=0.8).collect()
     }
     assert got == exact, "verify over the full exact pair list = exact result"
+    during = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert during == before + 1, (before, during)
     release(df)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
 
 
 def test_gemm_matches_exact_pairs(spark, clustered):

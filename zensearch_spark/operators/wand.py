@@ -191,12 +191,61 @@ class _TermBlocks:
         return out
 
 
+_ADMIT_CHUNK = 16  # essential-phase blocks merged per θ refresh
+
+
+def _skip_slack(
+    skipped: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, float]],
+    docs: np.ndarray,
+) -> np.ndarray:
+    """Per-candidate upper bound on score mass sitting in SKIPPED
+    essential blocks: for each term with skips, interval-stab the
+    candidates against the skipped blocks' [first, last] ranges and
+    add that block's w·ub. Ranges within one (term, salt) are disjoint
+    for a single encode run; a compacted multi-segment group can
+    interleave them, in which case the per-term max bound is used for
+    every doc (over-estimate — always safe: slack can only KEEP a
+    candidate longer, never drop one)."""
+    s = np.zeros(len(docs), np.float64)
+    for first, last, wub, max_wub in skipped.values():
+        if not len(first):
+            continue
+        if max_wub < 0:  # overlapping ranges sentinel — conservative
+            s += -max_wub
+            continue
+        idx = np.searchsorted(first, docs, side="right") - 1
+        idx_c = np.clip(idx, 0, len(first) - 1)
+        hit = (idx >= 0) & (docs <= last[idx_c])
+        s[hit] += wub[idx_c[hit]]
+    return s
+
+
 def _evaluate_one_query(
     terms: dict[str, _TermBlocks],
     weight_map: dict[str, float],
     k: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k of one query within one salt group (module docstring)."""
+    """Exact top-k of one query within one salt group (module
+    docstring), with BLOCK-MAX skipping in BOTH phases:
+
+    - essential phase: a term's blocks are admitted in descending
+      block-upper-bound order, θ (k-th best partial, a valid lower
+      bound on the true k-th score — contributions are non-negative)
+      refreshed as blocks merge; once w·block_ub + rem_after +
+      slack_budget < θ, no remaining block of this term can admit a
+      NEW top-k doc (ubs are non-increasing), so the tail is skipped
+      wholesale. ``slack_budget`` = Σ over EARLIER terms of their max
+      skipped-block bound — a new doc inside this block might also sit
+      inside earlier terms' skipped blocks, so their potential must be
+      charged before declaring it hopeless;
+    - candidate pruning (non-essential phase) adds per-candidate
+      _skip_slack so a doc whose partial sum is missing skipped-block
+      contributions is never dropped on an underestimate;
+    - the exact rescore decodes every block OVERLAPPING a survivor
+      (cache-backed), so skipped contributions of survivors are always
+      recovered — skipping affects which docs are considered, never
+      their final floats (fixed ascending-term fold, oracle-identical).
+    """
     qterms = [t for t in weight_map if t in terms]
     if not qterms:
         return _EMPTY
@@ -206,50 +255,96 @@ def _evaluate_one_query(
 
     cand_docs = np.empty(0, np.int64)
     cand_scores = np.empty(0, np.float64)  # partial sums — bounds only
-    decoded_src: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    skipped: dict[str, tuple] = {}
+    slack_budget = 0.0
     theta = -np.inf
     essential_done = False
+
+    def kth() -> float:
+        if len(cand_scores) >= k:
+            return float(np.partition(cand_scores, -k)[-k])
+        return -np.inf
+
     for i, t in enumerate(order):
         tb = terms[t]
         w = weight_map[t]
         rem_after = suffix_ub[i + 1]
         essential = (not essential_done) and (
-            theta == -np.inf or w * tb.ub + rem_after >= theta - EPS
+            theta == -np.inf
+            or w * tb.ub + rem_after + slack_budget >= theta - EPS
         )
         if essential:
-            docs_t, contrib_t = tb.decode_all()
-            decoded_src[t] = (docs_t, contrib_t)
-            merged = np.union1d(cand_docs, docs_t)
-            new_scores = np.zeros(len(merged), np.float64)
-            if len(cand_docs):
-                pos = np.searchsorted(merged, cand_docs)
-                new_scores[pos] = cand_scores
-            if len(docs_t):
-                pos = np.searchsorted(merged, docs_t)
-                new_scores[pos] += w * contrib_t
-            cand_docs, cand_scores = merged, new_scores
+            border = np.argsort(-tb.block_ub, kind="stable")
+            pend_docs: list[np.ndarray] = []
+            pend_contrib: list[np.ndarray] = []
+
+            def flush():
+                nonlocal cand_docs, cand_scores, theta
+                if not pend_docs:
+                    return
+                docs_t = np.concatenate(pend_docs)
+                contrib_t = np.concatenate(pend_contrib)
+                pend_docs.clear()
+                pend_contrib.clear()
+                merged = np.union1d(cand_docs, docs_t)
+                new_scores = np.zeros(len(merged), np.float64)
+                if len(cand_docs):
+                    new_scores[np.searchsorted(merged, cand_docs)] = cand_scores
+                new_scores[np.searchsorted(merged, docs_t)] += w * contrib_t
+                cand_docs, cand_scores = merged, new_scores
+                theta = max(theta, kth())
+
+            cut = len(border)
+            for j, bi in enumerate(border):
+                if (
+                    theta != -np.inf
+                    and w * tb.block_ub[bi] + rem_after + slack_budget
+                    < theta - EPS
+                ):
+                    cut = j
+                    break
+                docs_b, contrib_b = tb._decode(int(bi))
+                pend_docs.append(docs_b)
+                pend_contrib.append(contrib_b)
+                if len(pend_docs) >= _ADMIT_CHUNK:
+                    flush()
+            flush()
+            if cut < len(border):
+                sk = border[cut:]
+                by_first = sk[np.argsort(tb.first[sk], kind="stable")]
+                first, last = tb.first[by_first], tb.last[by_first]
+                wub = w * tb.block_ub[by_first]
+                mx = float(wub.max())
+                if len(first) > 1 and (first[1:] <= last[:-1]).any():
+                    mx = -mx  # overlap sentinel for _skip_slack
+                skipped[t] = (first, last, wub, mx)
+                slack_budget += abs(mx)
         else:
             essential_done = True
             src = tb.decode_overlapping(cand_docs)
-            decoded_src[t] = src
             cand_scores = cand_scores + w * tb.lookup(cand_docs, src)
-            # prune: only safe once the candidate set is final
-            keep = cand_scores + rem_after >= theta - EPS
+            # prune: only safe once the candidate set is final, and
+            # only with skipped-block slack charged per candidate
+            slack = (
+                _skip_slack(skipped, cand_docs)
+                if skipped
+                else np.zeros(len(cand_docs), np.float64)
+            )
+            keep = cand_scores + slack + rem_after >= theta - EPS
             cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
-        if len(cand_scores) >= k:
-            theta = float(np.partition(cand_scores, -k)[-k])
+        theta = max(theta, kth())
 
     if not len(cand_docs):
         return _EMPTY
 
     # exact rescore of survivors: ascending term order, fixed fold —
-    # the oracle's float sequence
+    # the oracle's float sequence. decode_overlapping is cache-backed,
+    # so already-decoded blocks cost a lookup and skipped blocks are
+    # decoded only if a survivor falls inside their range.
     final = np.zeros(len(cand_docs), np.float64)
     for t in sorted(qterms):
         tb = terms[t]
-        src = decoded_src.get(t)
-        if src is None:
-            src = tb.decode_overlapping(cand_docs)
+        src = tb.decode_overlapping(cand_docs)
         final = final + weight_map[t] * tb.lookup(cand_docs, src)
 
     pos_mask = final > 0.0
