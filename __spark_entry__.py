@@ -466,6 +466,32 @@ def _q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4 full semantics: href extraction from an HTML column +
+    # fragment strip + visited anti-join (reference page_navigator.go
+    # DOM walk + visited-set check). The HTML is constructed
+    # deterministically from documents columns so the DuckDB oracle
+    # computes the identical extraction.
+    from zensearch_spark.operators.links import extract_links
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<p><a href="https://'), F.col("source"),
+        F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+        F.lit('#frag">doc</a> <a href="https://'), F.col("lang"),
+        F.lit(".example.org/p/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit('">p</a></p>'),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    visited = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return extract_links(pages, visited=visited)
+
+
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §2.6: distinct set algebra — customers with orders minus
     # customers in BUILDING segment, intersected with +acctbal keys
@@ -530,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_quirks_compat": _q_bm25_quirks,
         "presentation_guard": _q_presentation_guard,
         "url_parse": _q_url_parse,
+        "link_extract": _q_link_extract,
         "set_ops": _q_set_ops,
         "pivot_agg": _q_pivot_agg,
     }
@@ -1004,6 +1031,36 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(split_part(url, '#', 1),
                                   '^https?://[^/]+(/.*)$', 1) AS path
             FROM u
+        """,
+        "link_extract": """
+            WITH pages AS (
+              SELECT doc_id,
+                     '<p><a href="https://' || source || '.example.com/docs/'
+                       || doc_id::VARCHAR || '#frag">doc</a> <a href="https://'
+                       || lang || '.example.org/p/' || (doc_id % 7)::VARCHAR
+                       || '">p</a></p>' AS html
+              FROM documents
+            ),
+            hrefs AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
+                       AS raw_url
+              FROM pages
+            ),
+            links AS (
+              SELECT DISTINCT doc_id,
+                     split_part(raw_url, '#', 1) AS url,
+                     regexp_extract(split_part(raw_url, '#', 1),
+                                    '^https?://([^/]+)', 1) AS host
+              FROM hrefs
+            ),
+            visited AS (
+              SELECT 'https://' || source || '.example.com/docs/'
+                       || doc_id::VARCHAR AS url
+              FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT doc_id, url, host FROM links
+            WHERE url NOT IN (SELECT url FROM visited)
         """,
         "set_ops": """
             (SELECT DISTINCT o_custkey AS key FROM orders
