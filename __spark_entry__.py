@@ -409,6 +409,41 @@ def _q_user_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization (30 min) — per-event session ordinal
+    from zensearch_spark.operators.sessions import sessionize_events
+
+    return sessionize_events(_t(spark, sf_dir, "events"), gap_sec=1800).select(
+        "event_id", "user_id", "ts", F.col("session_seq").cast("long").alias("session_seq")
+    )
+
+
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zensearch_spark.operators.sessions import session_stats
+
+    s = session_stats(_t(spark, sf_dir, "events"), gap_sec=1800)
+    return s.select(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq"),
+        "n_events", F.col("duration_sec").cast("long").alias("duration_sec"),
+    )
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub over text with deterministically injected PII (the
+    # corpus itself is word salad; the injection makes the redaction
+    # exercise real matches, mirrored in the oracle)
+    from zensearch_spark.functions.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.substring("text", 1, 60),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.com at 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or 555-123-4567 "),
+    )
+    return redact_pii(d.select("doc_id", txt.alias("text")))
+
+
 def _q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -551,6 +586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         "grouped_topk": _q_grouped_topk,
         "user_first_event": _q_user_first_event,
+        "sessionize": _q_sessionize,
+        "session_stats": _q_session_stats,
+        "redact_pii": _q_redact_pii,
         "rollup_agg": _q_rollup_agg,
         "json_extract_events": _q_json_extract_events,
         "bm25_quirks_compat": _q_bm25_quirks,
@@ -1000,6 +1038,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, ts, event_type FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY ts ASC, event_id ASC) = 1
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap
+              FROM events
+            )
+            SELECT event_id, user_id, ts,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+            FROM g
+        """,
+        "session_stats": """
+            WITH g AS (
+              SELECT event_id, user_id, ts,
+                     floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap
+              FROM events
+            ),
+            s AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   (max(floor(epoch(ts))::BIGINT)
+                    - min(floor(epoch(ts))::BIGINT))::BIGINT AS duration_sec
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "redact_pii": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     substr(text, 1, 60) || ' contact u' || doc_id::VARCHAR
+                       || '@ex.com at 10.0.' || (doc_id % 256)::VARCHAR
+                       || '.7 or 555-123-4567 ' AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
+                     AS redacted,
+                   (len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text,
+                        '\b(\d{1,3}\.){3}\d{1,3}\b'))
+                    + len(regexp_extract_all(text,
+                        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')))::BIGINT
+                     AS n_redactions
+            FROM t
         """,
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

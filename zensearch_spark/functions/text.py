@@ -95,3 +95,39 @@ def doc_fingerprints(docs: DataFrame, shingle: int = 8, id_col: str = "doc_id",
         F.md5(F.col(text_col)).alias("fp"),
         F.array_min(windows).alias("min_shingle_fp"),
     )
+
+
+# PII patterns shared by the Spark path and the DuckDB oracle — kept
+# to syntax both Java regex and RE2 interpret identically (no
+# backrefs, no lookaround). Applied in a FIXED order (email → ipv4 →
+# phone) so overlapping matches resolve the same way on both engines.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_redactions): emails, IPv4s and phone
+    numbers replaced with typed placeholders — the scrub every
+    training-data pipeline runs before anything else touches text.
+    Pure JVM regexp_replace/regexp_count chain: embarrassingly
+    parallel, no shuffle, no UDF."""
+    t = F.col(text_col)
+    n = (
+        F.regexp_count(t, F.lit(PII_EMAIL))
+        + F.regexp_count(t, F.lit(PII_IPV4))
+        + F.regexp_count(t, F.lit(PII_PHONE))
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        red.alias("redacted"),
+        n.cast("long").alias("n_redactions"),
+    )
