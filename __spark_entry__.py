@@ -286,6 +286,44 @@ def ensure_ann_index(spark: SparkSession, sf_dir: str) -> tuple[str, list[float]
     return idx_path, qvec
 
 
+def ensure_ivf_index(spark: SparkSession, sf_dir: str):
+    """Build (or reuse) the IVF cell index + centroids for sf_dir's
+    embeddings (same cache discipline as ensure_ann_index: content
+    fingerprint key, stale dirs evicted, build untimed in bench)."""
+    import numpy as np
+
+    from zensearch_spark.operators.ivf import build_ivf_index, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    tag = sf_dir.strip("/").replace("/", "_")
+    fp = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
+    idx_path = os.path.join(scratch, f"zs_ivf_{tag}_{fp}")
+    import glob as _glob
+    import shutil as _shutil
+
+    for old in _glob.glob(os.path.join(scratch, f"zs_ivf_{tag}_*")):
+        if os.path.abspath(old) != os.path.abspath(idx_path):
+            _shutil.rmtree(old, ignore_errors=True)
+    cent_path = os.path.join(idx_path, "centroids.npy")
+    if not os.path.exists(os.path.join(idx_path, "cells", "_SUCCESS")):
+        cent = train_ivf_centroids(emb, n_centroids=64, sample_every=4, seed=42)
+        build_ivf_index(emb, os.path.join(idx_path, "cells"), cent)
+        np.save(cent_path, cent)
+    return os.path.join(idx_path, "cells"), np.load(cent_path), qvec
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate — no SQL oracle; driver records rows-only. The IVF
+    # (coarse-quantizer) twin of ann_topk: scan only the nprobe
+    # nearest cells via partition pruning, exact re-rank inside.
+    from zensearch_spark.operators.ivf import ivf_topk
+
+    cells, cent, qvec = ensure_ivf_index(spark, sf_dir)
+    return ivf_topk(spark, cells, cent, qvec, k=20, nprobe=8)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate — no SQL oracle; driver records rows-only.
     # Exercises the PRODUCTION shape: sketch table built once in ONE
@@ -577,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "ann_topk": _q_ann_topk,
         "ann_topk_batch": _q_ann_topk_batch,
+        "ivf_topk": _q_ivf_topk,
         "emb_neardup": _q_emb_neardup,
         "emb_neardup_gemm": _q_emb_neardup_gemm,
         "lang_stopword": _q_lang_stopword,

@@ -61,6 +61,10 @@ def main() -> None:
     entrymod.ensure_ann_index(spark, sf_dir)
     timings["ann_build"] = round(time.monotonic() - t0, 3)
     log(f"[bench] ann_build (one-time prep): {timings['ann_build']}s")
+    t0 = time.monotonic()
+    entrymod.ensure_ivf_index(spark, sf_dir)
+    timings["ivf_build"] = round(time.monotonic() - t0, 3)
+    log(f"[bench] ivf_build (one-time prep): {timings['ivf_build']}s")
 
     # -- 1. operator battery at sf_dir ---------------------------------
     from zensearch_spark.caching import release

@@ -1,0 +1,152 @@
+"""IVF (inverted-file) ANN index over an embedding column — the
+coarse-quantizer alternative to the sign-sketch LSH index in
+operators/similarity.py (the round brief names both: "an IVF or
+LSH-bucketed variant as the scale path").
+
+Shape: a small deterministic k-means (driver-side NumPy over a
+bounded sample — centroids are MODEL parameters, like the LSH planes)
+partitions vectors into n_centroids cells; the index is the
+embeddings table written partitionBy(centroid_id); a probe ranks
+centroids against the query driver-side and scans only the top
+``nprobe`` cells (literal partition filter → partition pruning, same
+plan shape as the LSH sketch probe). Exact cosine re-rank inside the
+probed cells.
+
+Scale: assignment is one scan with an Arrow-batched matmul+argmax
+(batch_rows × n_centroids GEMM — no per-row Python); the write is
+one shuffle by centroid_id; a probe reads nprobe/n_centroids of the
+data. Recall is data-dependent (gated on clustered fixtures like the
+LSH tests; i.i.d. gaussian data defeats any sub-linear ANN — same
+honest floor the LSH tests document).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zensearch_spark.operators.similarity import cosine_topk
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 64,
+    sample_every: int = 1,
+    max_sample: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver sample.
+
+    The sample is id-keyed (vec_id % sample_every == 0, capped at
+    max_sample by a second modulus pass), so the same table always
+    yields the same centroids — training is a one-time model fit, the
+    analog of the LSH planes' fixed seed. Returns (n_centroids, dim)
+    L2-normalized float64."""
+    s = emb.filter((F.col(id_col) % sample_every) == 0).select(id_col, vec_col)
+    pdf = s.limit(max_sample).toPandas().sort_values(id_col)
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n = len(mat)
+    k = min(n_centroids, n)
+    rng = np.random.default_rng([seed, k, mat.shape[1]])
+    cent = mat[rng.permutation(n)[:k]].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    cent[c] = v / nv
+    return cent
+
+
+def assign_centroids(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, centroid_id): nearest centroid by cosine,
+    computed as an Arrow-batched matmul+argmax (rows are normalized
+    inside the worker; centroids ship in the closure — model-sized,
+    not data-sized)."""
+    cent = np.ascontiguousarray(centroids, dtype=np.float64)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", emb.schema[vec_col].dataType, False),
+            T.StructField("centroid_id", T.IntegerType(), False),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cid = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "embedding": pdf[vec_col],
+                    "centroid_id": cid,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF cells: one scan + one shuffle by
+    centroid_id, written partitionBy(centroid_id) so probes prune to
+    their cells' files (snappy for the same writer-init reason as the
+    LSH sketch write)."""
+    (
+        assign_centroids(emb, centroids, id_col, vec_col)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .option("compression", "snappy")
+        .parquet(out_path)
+    )
+
+
+def probe_cells(
+    centroids: np.ndarray, query_vec: list[float], nprobe: int
+) -> list[int]:
+    """Driver-side centroid ranking: the nprobe nearest cells."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(float(np.linalg.norm(q)), 1e-12)
+    sims = centroids @ q
+    return sorted(int(c) for c in np.argsort(-sims)[:nprobe])
+
+
+def ivf_topk(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 20,
+    nprobe: int = 8,
+) -> DataFrame:
+    """Approximate top-k: scan only the nprobe nearest cells (literal
+    centroid_id filter → PartitionFilters), exact cosine re-rank."""
+    cells = probe_cells(centroids, query_vec, nprobe)
+    cand = spark.read.parquet(index_path).filter(
+        F.col("centroid_id").isin(cells)
+    )
+    return cosine_topk(cand, query_vec, k=k, id_col="vec_id",
+                       vec_col="embedding")
