@@ -109,14 +109,22 @@ def main() -> None:
 
     index = BM25Index(spark, idx_root)
     qset = reference_query_set()[:BENCH_N_QUERIES]
+    counters = {
+        "blocks_total": spark.sparkContext.accumulator(0),
+        "blocks_decoded": spark.sparkContext.accumulator(0),
+    }
     t0 = time.monotonic()
     index.topk_batch(
-        [(q["query_id"], q["query_text"], q["k"]) for q in qset]
+        [(q["query_id"], q["query_text"], q["k"]) for q in qset],
+        counters=counters,
     ).collect()
     query_sec = time.monotonic() - t0
     timings["wand_query_set"] = round(query_sec, 3)
     qps = round(len(qset) / query_sec, 3)
-    log(f"[bench] wand_query_set: {query_sec:.1f}s ({qps} q/s)")
+    blocks_scanned = counters["blocks_total"].value
+    blocks_decoded = counters["blocks_decoded"].value
+    log(f"[bench] wand_query_set: {query_sec:.1f}s ({qps} q/s; "
+        f"blocks {blocks_decoded}/{blocks_scanned} decoded)")
 
     total = round(time.monotonic() - t_all, 3)
     out = {
@@ -131,6 +139,8 @@ def main() -> None:
             "turns_per_sec": turns_per_sec,
             "build_sec": round(build_sec, 3),
             "query_per_sec": qps,
+            "wand_blocks_scanned": int(blocks_scanned),
+            "wand_blocks_decoded": int(blocks_decoded),
         },
     }
     spark.stop()
