@@ -370,8 +370,11 @@ def main() -> None:
                 }
                 rows |= {r["rows_out"] for r in runs}
             pairs = {}
-            for lo, hi in ((4, 16), (8, 32)):
-                if lo in per_level and hi in per_level:
+            # every N -> 4N pair present in --levels (the north rule's
+            # two-cluster-size criterion at 4x; 2->8 and 8->32 both count)
+            for lo in sorted(per_level):
+                hi = lo * 4
+                if hi in per_level:
                     sp = per_level[lo]["min_sec"] / per_level[hi]["min_sec"]
                     pairs[f"{lo}->{hi}"] = {
                         "speedup": round(sp, 3),
