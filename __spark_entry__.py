@@ -553,16 +553,23 @@ def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
         F.lit('#frag">doc</a> <a href="https://'), F.col("lang"),
         F.lit(".example.org/p/"), (F.col("doc_id") % 7).cast("string"),
-        F.lit('">p</a></p>'),
+        F.lit('">p</a> <a href="/r/'), (F.col("doc_id") % 5).cast("string"),
+        F.lit('">r</a></p>'),
     )
-    pages = d.select("doc_id", html.alias("html"))
+    # the page's own host, used to resolve the root-relative /r/N href
+    # against the page origin (reference page_navigator.go resolution;
+    # round-4 ADVICE: relative hrefs were previously dropped silently)
+    pages = d.select(
+        "doc_id", html.alias("html"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("page_host"),
+    )
     visited = d.filter(F.col("doc_id") % 10 == 0).select(
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
             F.col("doc_id").cast("string"),
         ).alias("url")
     )
-    return extract_links(pages, visited=visited)
+    return extract_links(pages, visited=visited, base_host="page_host")
 
 
 def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1173,25 +1180,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "link_extract": """
             WITH pages AS (
-              SELECT doc_id,
+              SELECT doc_id, source || '.example.com' AS page_host,
                      '<p><a href="https://' || source || '.example.com/docs/'
                        || doc_id::VARCHAR || '#frag">doc</a> <a href="https://'
                        || lang || '.example.org/p/' || (doc_id % 7)::VARCHAR
-                       || '">p</a></p>' AS html
+                       || '">p</a> <a href="/r/' || (doc_id % 5)::VARCHAR
+                       || '">r</a></p>' AS html
               FROM documents
             ),
             hrefs AS (
-              SELECT doc_id,
+              SELECT doc_id, page_host,
                      unnest(regexp_extract_all(html, 'href="([^"]+)"', 1))
                        AS raw_url
               FROM pages
             ),
+            resolved AS (
+              SELECT doc_id,
+                     CASE WHEN regexp_matches(raw_url, '^https?://') THEN raw_url
+                          WHEN raw_url LIKE '//%' THEN 'https:' || raw_url
+                          WHEN raw_url LIKE '/%'
+                            THEN 'https://' || page_host || raw_url
+                          ELSE 'https://' || page_host || '/' || raw_url
+                     END AS abs_url
+              FROM hrefs
+            ),
             links AS (
               SELECT DISTINCT doc_id,
-                     split_part(raw_url, '#', 1) AS url,
-                     regexp_extract(split_part(raw_url, '#', 1),
+                     split_part(abs_url, '#', 1) AS url,
+                     regexp_extract(split_part(abs_url, '#', 1),
                                     '^https?://([^/]+)', 1) AS host
-              FROM hrefs
+              FROM resolved
             ),
             visited AS (
               SELECT 'https://' || source || '.example.com/docs/'

@@ -231,3 +231,33 @@ def test_fold_rejects_overlapping_sidecars(compacted, spark, tmp_path_factory):
         json.dump(st, f)
     with pytest.raises(RuntimeError, match="overlapping doc_len"):
         fold_deltas(spark, dst, max_segments=len(segs["blocks"]) - 1)
+
+
+def test_fold_rejects_delta_overlapping_base(compacted, spark, tmp_path_factory):
+    """Round-4 ADVICE: the sidecar overlap guard must include the BASE
+    generation — a delta whose doc_id span collides with the base's
+    sidecar corrupts the positional overlay exactly like two colliding
+    deltas, and previously passed the deltas-only guard silently."""
+    import json
+    import os
+    import shutil
+
+    from zensearch_spark.plans.compaction import fold_deltas
+
+    _inc, _full, root, *_ = compacted
+    dst = str(tmp_path_factory.mktemp("corrupt_base") / "idx")
+    shutil.copytree(root, dst)
+    stats_path = os.path.join(dst, "stats.json")
+    st = json.load(open(stats_path))
+    segs = st["segments"]
+    # register a COPY OF THE BASE as an extra delta: its doc_len spans
+    # collide with the base generation's, not with any other delta's
+    for key in ("doc_map", "blocks", "doc_lens"):
+        base = segs[key][0]
+        dup = f"{base}_basedup"
+        shutil.copytree(os.path.join(dst, base), os.path.join(dst, dup))
+        segs[key].append(dup)
+    with open(stats_path, "w") as f:
+        json.dump(st, f)
+    with pytest.raises(RuntimeError, match="overlapping doc_len"):
+        fold_deltas(spark, dst, max_segments=len(segs["blocks"]) - 1)

@@ -335,3 +335,21 @@ def test_ivf_probe_prunes_partitions(spark, clustered, ivf_index):
     )
     assert "PartitionFilters" in plan
     assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_ivf_training_layout_invariant(spark, clustered):
+    """Centroids must not depend on file/partition layout even when
+    the modulus-filtered sample exceeds max_sample (round-4 ADVICE:
+    the cap was a bare distributed limit(), whose row choice follows
+    partition enumeration order). The cap path is forced with
+    max_sample < n_rows and exercised under three different layouts."""
+    from zensearch_spark.operators.ivf import train_ivf_centroids
+
+    kw = dict(n_centroids=8, iters=4, seed=11, max_sample=120)
+    a = train_ivf_centroids(clustered, **kw)
+    b = train_ivf_centroids(clustered.repartition(7), **kw)
+    c = train_ivf_centroids(
+        clustered.orderBy(F.desc("vec_id")).repartition(3), **kw
+    )
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)

@@ -44,12 +44,16 @@ def train_ivf_centroids(
     """Deterministic spherical k-means on a bounded driver sample.
 
     The sample is id-keyed (vec_id % sample_every == 0, capped at
-    max_sample by a second modulus pass), so the same table always
-    yields the same centroids — training is a one-time model fit, the
-    analog of the LSH planes' fixed seed. Returns (n_centroids, dim)
-    L2-normalized float64."""
+    max_sample by an ordered limit — a distributed top-n on the id,
+    NOT a bare ``limit()`` whose row choice follows partition
+    enumeration order), so the same table always yields the same
+    centroids regardless of file layout or partitioning — training is
+    a one-time model fit, the analog of the LSH planes' fixed seed
+    (round-4 ADVICE: bare limit broke the determinism claim once the
+    modulus-filtered sample exceeded max_sample). Returns
+    (n_centroids, dim) L2-normalized float64."""
     s = emb.filter((F.col(id_col) % sample_every) == 0).select(id_col, vec_col)
-    pdf = s.limit(max_sample).toPandas().sort_values(id_col)
+    pdf = s.orderBy(id_col).limit(max_sample).toPandas().sort_values(id_col)
     mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     n = len(mat)

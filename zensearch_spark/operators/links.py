@@ -31,26 +31,48 @@ def extract_links(
     html_col: str = "html",
     visited: DataFrame | None = None,
     same_host_as: str | None = None,
+    base_host: str | None = None,
 ) -> DataFrame:
-    """(page id, url, host) for every href in ``html_col``, fragment
-    stripped, de-duplicated per page.
+    """(page id, url, host) for every href in ``html_col``, resolved
+    against the page origin, fragment stripped, de-duplicated per page.
 
     ``visited``: optional frontier table with a ``url`` column —
     already-crawled URLs are anti-joined out (reference visited-set
     check). ``same_host_as``: optional column name on ``pages``
     holding the page's own host — keeps only same-host links
-    (reference same-origin crawl policy)."""
-    cols = [F.col(id_col), F.col(html_col)]
-    if same_host_as is not None:
-        cols.append(F.col(same_host_as))
-    links = pages.select(*cols).select(
+    (reference same-origin crawl policy). ``base_host``: optional
+    column name on ``pages`` holding the page's host, used to resolve
+    scheme-relative (``//h/p``), root-relative (``/p``) and bare
+    relative hrefs against the page origin before the host/visited
+    checks — the reference crawler resolves relative links the same
+    way (page_navigator.go origin resolution). Defaults to
+    ``same_host_as`` when that is given; with NEITHER set, relative
+    hrefs cannot be resolved and are emitted with host='' (and thus
+    dropped by a same-host policy) — absolute-URL extraction only.
+    Bare relative paths resolve against the origin root (the page's
+    directory is not carried in this column model)."""
+    if base_host is None:
+        base_host = same_host_as
+    aux = list(dict.fromkeys(c for c in (same_host_as, base_host) if c is not None))
+    links = pages.select(F.col(id_col), F.col(html_col), *map(F.col, aux)).select(
         F.col(id_col),
-        *( [F.col(same_host_as)] if same_host_as is not None else [] ),
+        *map(F.col, aux),
         F.explode(
             F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), 1)
         ).alias("raw_url"),
     )
-    no_frag = F.substring_index(F.col("raw_url"), "#", 1)
+    raw = F.col("raw_url")
+    if base_host is not None:
+        base = F.col(base_host)
+        resolved = (
+            F.when(raw.rlike(r"^https?://"), raw)
+            .when(raw.startswith("//"), F.concat(F.lit("https:"), raw))
+            .when(raw.startswith("/"), F.concat(F.lit("https://"), base, raw))
+            .otherwise(F.concat(F.lit("https://"), base, F.lit("/"), raw))
+        )
+    else:
+        resolved = raw
+    no_frag = F.substring_index(resolved, "#", 1)
     out = links.select(
         F.col(id_col),
         *( [F.col(same_host_as)] if same_host_as is not None else [] ),

@@ -281,7 +281,14 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 }
                 try:
                     m = decode_real(bytes(payload))
-                except (NotImplementedError, ValueError, wave.Error, zlib.error):
+                except (NotImplementedError, ValueError, wave.Error,
+                        zlib.error, struct.error, KeyError, IndexError,
+                        EOFError):
+                    # struct.error: a payload with a valid PNG signature
+                    # but a truncated chunk stream makes struct.unpack_from
+                    # raise it; KeyError/IndexError/EOFError cover other
+                    # malformed-container shapes. Quarantine, never die
+                    # (round-4 ADVICE).
                     rows.append({**base, "kind": "unsupported"})
                     continue
                 if m["kind"] == "image":

@@ -90,8 +90,16 @@ def _make_assigner(gap_sec: int):
             )
         if last_sec is not None:
             state.update((int(last_sec), int(seq)))
-            # close the session once event time passes last event + gap
-            state.setTimeoutTimestamp((int(last_sec) + gap_sec) * 1000)
+            # close the session once event time passes last event + gap.
+            # Clamped above the current watermark: a user whose newest
+            # event is already older than watermark - gap (possible
+            # across availableNow restarts with delay > gap) would
+            # otherwise request a timeout <= watermark, which Spark
+            # rejects with IllegalArgumentException and fails the whole
+            # query instead of just expiring this user (round-4 ADVICE).
+            want_ms = (int(last_sec) + gap_sec) * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(want_ms, wm_ms + 1))
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
