@@ -740,6 +740,47 @@ eg AS (SELECT doc_id, unnest(gks) AS gk FROM hg)
 _GRAMS5 = _grams_cte(5)
 
 
+def _fingerprints_sql(shingle: int = 8) -> str:
+    """Mirror of text.doc_fingerprints: winnowing minimum over the
+    rolling-polynomial window keys — the same per-token-md5 + two-half
+    integer algebra as _grams_cte, digit-for-digit, so a collision
+    affects both engines identically. Short docs (< shingle tokens)
+    fold ALL their tokens into one key (acc starts at 0, mirrored by
+    list_prepend(0, ...) under list_reduce); empty docs key to 0."""
+    from zensearch_spark.operators.dedup import GRAM_C1, GRAM_C2, MINHASH_P
+
+    def poly(col: str, c: int) -> str:
+        acc = f"{col}[i]"
+        for j in range(1, shingle):
+            acc = f"(({acc}) * {c} + {col}[i+{j}]) % {MINHASH_P}"
+        return acc
+
+    def fold(col: str, c: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, {col}), "
+            f"(a, x) -> (a * {c} + x) % {MINHASH_P})"
+        )
+
+    key = f"({poly('h1', GRAM_C1)}) * {MINHASH_P} + ({poly('h2', GRAM_C2)})"
+    short = f"({fold('h1', GRAM_C1)}) * {MINHASH_P} + ({fold('h2', GRAM_C2)})"
+    return f"""
+WITH t AS (SELECT doc_id, text, {_TOK} AS tk FROM documents),
+mh AS (SELECT doc_id, text, list_transform(tk, t -> md5(t)) AS mh FROM t),
+hs AS (
+  SELECT doc_id, text,
+         list_transform(mh, h -> {_MD5_INT_AT.format(x='h', s=1)} % {MINHASH_P}) AS h1,
+         list_transform(mh, h -> {_MD5_INT_AT.format(x='h', s=16)} % {MINHASH_P}) AS h2
+  FROM mh
+)
+SELECT doc_id, md5(text) AS fp,
+       CASE WHEN len(h1) >= {shingle} THEN
+         list_min(list_transform(range(1, len(h1) - {shingle - 2}),
+                                 i -> {key}))
+       ELSE {short} END AS min_shingle_fp
+FROM hs
+"""
+
+
 def _jaccard_pairs_sql(max_gram_df: int) -> str:
     """Mirror of dedup.ngram_jaccard_pairs(max_gram_df=...): grams
     with df > cap leave the gram universe (intersections AND sizes)."""
@@ -1040,14 +1081,7 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS bpe_tokens
             FROM documents
         """,
-        "fingerprints": f"""
-            WITH t AS (SELECT doc_id, text, {_TOK} AS tk FROM documents)
-            SELECT doc_id, md5(text) AS fp,
-                   list_min(list_transform(
-                     range(1, greatest(len(tk) - 7, 1) + 1),
-                     i -> md5(array_to_string(tk[i:i+7], ' ')))) AS min_shingle_fp
-            FROM t
-        """,
+        "fingerprints": _fingerprints_sql(shingle=8),
         # NOTE oracle assumption: head byte is derived via
         # ascii(substr(text,1,1)) — the first CHARACTER's codepoint —
         # while the Spark path uses the first UTF-8 BYTE of the binary
