@@ -72,6 +72,38 @@ def train_ivf_centroids(
     return cent
 
 
+def modular_mean_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Data-derived centroids an external SQL engine can reproduce
+    exactly: centroid c = elementwise MEAN of vectors with
+    vec_id % n_cells == c (random-partition means, the classic k-means
+    init — unnormalized, since argmax assignment is scale-invariant in
+    the row only). Feeds the driver-visible ivf_recall correctness
+    entry, where the whole IVF mechanism (assignment, cell pruning,
+    exact re-rank, recall accounting) is mirrored in DuckDB; the
+    k-means fit (train_ivf_centroids) remains the production model
+    path. One distributed posexplode+avg pass; the collect is
+    model-sized (n_cells × dim rows), never data-sized."""
+    rows = (
+        emb.select(
+            (F.col(id_col) % n_cells).alias("cell"),
+            F.posexplode(vec_col).alias("dim", "x"),
+        )
+        .groupBy("cell", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .collect()
+    )
+    dim = 1 + max(r["dim"] for r in rows)
+    cent = np.zeros((n_cells, dim))
+    for r in rows:
+        cent[r["cell"], r["dim"]] = r["cx"]
+    return cent
+
+
 def assign_centroids(
     emb: DataFrame,
     centroids: np.ndarray,
@@ -135,7 +167,9 @@ def probe_cells(
     q = np.asarray(query_vec, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     sims = centroids @ q
-    return sorted(int(c) for c in np.argsort(-sims)[:nprobe])
+    # stable sort: exact dot ties resolve to the LOWEST cell id, the
+    # same tiebreak the SQL oracle's (dot DESC, cell ASC) window uses
+    return sorted(int(c) for c in np.argsort(-sims, kind="stable")[:nprobe])
 
 
 def ivf_topk(

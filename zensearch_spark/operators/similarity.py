@@ -614,6 +614,45 @@ def ann_topk_batch(
     )
 
 
+def cosine_topk_batch(
+    emb: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k for a query SET in ONE scan —
+    the exact twin of ann_topk_batch (and the recall denominator for
+    the ann_recall/ivf_recall correctness entries): broadcast the
+    (query_id, qvec) table, one join-expanded pass over the corpus,
+    per-query window top-k. Returns (query_id, vec_id, cosine).
+
+    At 100 TB this is the honest baseline shape — |Q| small and
+    broadcast, corpus scanned once regardless of |Q| — while the
+    sketch/IVF paths above are the sub-linear production paths."""
+    from pyspark.sql import Window
+
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "query_id int, qvec array<double>",
+    )
+    cand = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).crossJoin(F.broadcast(qdf))
+    raw = _dot(F.col("embedding"), F.col("qvec")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_raw"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", raw.alias("_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .orderBy("query_id", "rn")
+        .select("query_id", "vec_id", F.round("_raw", 6).alias("cosine"))
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     query_vec: list[float],
