@@ -265,14 +265,30 @@ class PhaseState:
         return p, p <= PHASE_FACTOR * self.base
 
 
-def run_worker(tmp: str, stage: str, cores: int, reps: int) -> dict:
+def run_worker(tmp: str, stage: str, cores: int, reps: int) -> dict | None:
+    """One fresh-JVM worker cell. Returns None on failure (full stderr
+    preserved in BENCH/campaign_failures.log) — a campaign must
+    survive a worker the host kills mid-cell, not abort 11 other
+    cells with it."""
     code = WORKER.format(repo=REPO, tmp=tmp, stage=stage, cores=cores,
                          reps=reps)
     proc = subprocess.run([sys.executable, "-c", code],
                           capture_output=True, text=True, check=False)
     if proc.returncode != 0:
-        sys.stderr.write(proc.stderr[-4000:])
-        raise SystemExit(f"stage {stage} at cores={cores} failed")
+        sys.stderr.write(proc.stderr[-1500:])
+        sys.stderr.write(f"\n[stage-scaling] WORKER FAILED: {stage}@{cores} "
+                         "(cell treated as polluted; full stderr in "
+                         "BENCH/campaign_failures.log)\n")
+        try:
+            os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+            with open(os.path.join(REPO, "BENCH", "campaign_failures.log"),
+                      "a") as f:
+                f.write(f"\n===== {datetime.now(timezone.utc).isoformat()} "
+                        f"{stage}@{cores} rc={proc.returncode} =====\n")
+                f.write(proc.stderr[-20000:])
+        except OSError:
+            pass
+        return None
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
@@ -298,6 +314,10 @@ def run_cell_guarded(
             _time.sleep(PHASE_BACKOFF_SEC)
             continue
         r = run_worker(tmp, stage, cores, reps)
+        if r is None:
+            if attempt < PHASE_RETRIES:
+                _time.sleep(PHASE_BACKOFF_SEC)
+            continue
         post, post_ok = phase.check(settle_sec=5.0)
         r["probe_pre"], r["probe_post"] = round(pre, 3), round(post, 3)
         r["phase_clean"] = bool(pre_ok and post_ok)
