@@ -102,6 +102,16 @@ def get_spark(
         # ~batch × row-width, well within executor budgets
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # This guest's degraded phases can stall the whole JVM long
+        # enough that the (in-process!) executor→driver heartbeat
+        # times out and Spark tears the context down mid-job
+        # (observed: RpcEndpointNotFound → "SparkContext was shut
+        # down" during a parquet write, BENCH/campaign_failures.log).
+        # Local mode has no real fault domain, so generous timeouts
+        # are strictly safer; on a cluster the same knobs are the
+        # standard remedy for long-GC executors.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         # MIN/MAX/COUNT aggs with no filter/group answer from parquet
         # footer statistics instead of scanning data pages — makes the
         # distributed dense-id invariant check (plans/index_build.py
