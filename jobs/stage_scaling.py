@@ -272,8 +272,23 @@ def run_worker(tmp: str, stage: str, cores: int, reps: int) -> dict | None:
     cells with it."""
     code = WORKER.format(repo=REPO, tmp=tmp, stage=stage, cores=cores,
                          reps=reps)
-    proc = subprocess.run([sys.executable, "-c", code],
-                          capture_output=True, text=True, check=False)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, check=False,
+            # hang guard: a worker whose JVM deadlocks (not merely
+            # grinds — 45 min covers 3 reps of the heaviest stage even
+            # in a degraded phase) must not wedge the campaign past
+            # its deadline
+            timeout=float(os.environ.get("ZS_CELL_TIMEOUT_SEC", "2700")),
+        )
+    except subprocess.TimeoutExpired as te:
+        proc = subprocess.CompletedProcess(
+            te.cmd, returncode=-1, stdout="",
+            stderr=f"[stage-scaling] cell timeout after {te.timeout}s\n"
+                   + (te.stderr.decode() if isinstance(te.stderr, bytes)
+                      else (te.stderr or "")),
+        )
     if proc.returncode != 0:
         sys.stderr.write(proc.stderr[-1500:])
         sys.stderr.write(f"\n[stage-scaling] WORKER FAILED: {stage}@{cores} "
