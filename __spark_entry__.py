@@ -37,6 +37,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallel read for COMPUTE-HEAVY per-row operators (guide §2.5
+    "input skew: one huge unsplittable file → repartition immediately
+    after the read"): the driver testdata ships each table as ONE
+    parquet file with ONE row group, so any expression-heavy scan
+    (md5/regex/token work) otherwise runs on a single core. The
+    round-robin shuffle moves only the narrow source rows once and is
+    priced far below the per-row compute it parallelizes; when the
+    input already has >= defaultParallelism splits (the 100 TB case)
+    this is a no-op."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -47,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------- queries
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
     top = naive_topk(docs, FLAGSHIP_QUERY, FLAGSHIP_K)
     return top.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -63,13 +80,13 @@ def _q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A1: per-doc token count (token semantics, SURVEY §2.4)
-    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
     return docs.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
 
 
 def _q_avgdl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A2: global average document length
-    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
     return docs.agg(
         F.count("*").alias("n_docs"), F.round(F.avg("doc_len"), 6).alias("avgdl")
     )
@@ -78,7 +95,7 @@ def _q_avgdl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A3+A4: df and idf for a fixed term set (token-exact)
     terms = ["spark", "vector", "hash", "stream", "zzabsentzz"]
-    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
     n_docs = docs.count()
     pairs = (
         docs.select("doc_id", F.explode("tokens").alias("term"))
@@ -97,7 +114,7 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5: exact-token term frequency per (doc, term)
     terms = ["spark", "join", "filter"]
-    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
     return (
         docs.select("doc_id", F.explode("tokens").alias("term"))
         .filter(F.col("term").isin(terms))
@@ -212,7 +229,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=5, threshold=0.8, max_gram_df=MAX_GRAM_DF
+        _tp(spark, sf_dir, "documents"), n=5, threshold=0.8, max_gram_df=MAX_GRAM_DF
     )
 
 
@@ -220,14 +237,14 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=5, num_hashes=32, bands=8, threshold=0.8
+        _tp(spark, sf_dir, "documents"), n=5, num_hashes=32, bands=8, threshold=0.8
     )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.operators.dedup import simhash_fingerprints
 
-    return simhash_fingerprints(_t(spark, sf_dir, "documents"), bits=32)
+    return simhash_fingerprints(_tp(spark, sf_dir, "documents"), bits=32)
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,25 +521,25 @@ def _q_emb_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lang_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.functions.text import stopword_language_score
 
-    return stopword_language_score(_t(spark, sf_dir, "documents"))
+    return stopword_language_score(_tp(spark, sf_dir, "documents"))
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.functions.text import quality_features
 
-    return quality_features(_t(spark, sf_dir, "documents"))
+    return quality_features(_tp(spark, sf_dir, "documents"))
 
 
 def _q_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.functions.text import bpe_token_count
 
-    return bpe_token_count(_t(spark, sf_dir, "documents"))
+    return bpe_token_count(_tp(spark, sf_dir, "documents"))
 
 
 def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.functions.text import doc_fingerprints
 
-    return doc_fingerprints(_t(spark, sf_dir, "documents"), shingle=8)
+    return doc_fingerprints(_tp(spark, sf_dir, "documents"), shingle=8)
 
 
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,7 +556,7 @@ def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25Index.grouped_topk (tests/test_index_and_wand.py).
     from pyspark.sql import Window
 
-    docs = tokenized_docs(_t(spark, sf_dir, "documents"))
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
     top = naive_topk(docs, FLAGSHIP_QUERY, FLAGSHIP_K).select(
         "doc_id", F.round("score", 6).alias("score")
     )
@@ -590,7 +607,7 @@ def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercise real matches, mirrored in the oracle)
     from zensearch_spark.functions.text import redact_pii
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     txt = F.concat(
         F.substring("text", 1, 60),
         F.lit(" contact u"), F.col("doc_id").cast("string"),
@@ -613,7 +630,7 @@ def _q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # props is a JSON string — scalar JSON path extraction
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_val"),
@@ -624,7 +641,7 @@ def _q_bm25_quirks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zensearch_spark.operators.naive_scorer import quirks_compat_topk
 
     return quirks_compat_topk(
-        _t(spark, sf_dir, "documents"), FLAGSHIP_QUERY, 50
+        _tp(spark, sf_dir, "documents"), FLAGSHIP_QUERY, 50
     )
 
 
@@ -665,7 +682,7 @@ def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the identical extraction.
     from zensearch_spark.operators.links import extract_links
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<p><a href="https://'), F.col("source"),
         F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),

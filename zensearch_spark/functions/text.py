@@ -94,54 +94,19 @@ def doc_fingerprints(docs: DataFrame, shingle: int = 8, id_col: str = "doc_id",
     than ``shingle`` get one key folded over all their tokens; empty
     docs get key 0.
 
-    PLAN SHAPE (memory + dedup docstring): the token-hash arrays must
-    be referenced many times (element_at per window position) without
-    Catalyst re-inlining the md5 transform into every reference.
-    There is no explode here to act as a projection barrier, so the
-    arrays are LET-BOUND as lambda variables instead: zip_with over
-    two single-element arrays evaluates each hash array exactly once
-    and binds it to a cheap lambda variable inside which all
-    element_at/size references are free."""
+    Round-6 shape (guide §4.2): the round-5 let-bound Catalyst HOF
+    chain (interpreted per window position) is replaced by an Arrow-
+    batched NumPy kernel with per-distinct-token md5 memoization
+    (functions/hashkernel.py) — same 62-bit integer algebra,
+    digit-for-digit against _fingerprints_sql."""
+    from zensearch_spark.functions.hashkernel import make_min_shingle_udf
     from zensearch_spark.operators.dedup import GRAM_C1, GRAM_C2, MINHASH_P
 
-    toks = with_tokens(text_col)
-
-    def half(start: int):
-        return F.transform(
-            toks,
-            lambda x: F.conv(F.substring(F.md5(x), start, 15), 16, 10)
-            .cast("long") % MINHASH_P,
-        )
-
-    def poly(arr, c: int, i):
-        acc = F.element_at(arr, i)
-        for j in range(1, shingle):
-            acc = (acc * c + F.element_at(arr, i + j)) % MINHASH_P
-        return acc
-
-    def fold(arr, c: int):
-        return F.aggregate(
-            arr, F.lit(0).cast("long"), lambda acc, x: (acc * c + x) % MINHASH_P
-        )
-
-    def window_keys(a, b):
-        win = F.transform(
-            # greatest(...) guard: CaseWhen branches are lazy in codegen,
-            # but a descending sequence(1, n<=0) in the untaken branch
-            # costs nothing to rule out statically
-            F.sequence(F.lit(1), F.greatest(F.size(a) - (shingle - 1), F.lit(1))),
-            lambda i: poly(a, GRAM_C1, i) * F.lit(MINHASH_P) + poly(b, GRAM_C2, i),
-        )
-        short = F.array(fold(a, GRAM_C1) * F.lit(MINHASH_P) + fold(b, GRAM_C2))
-        return F.when(F.size(a) >= shingle, win).otherwise(short)
-
-    keys = F.element_at(
-        F.zip_with(F.array(half(1)), F.array(half(16)), window_keys), 1
-    )
+    mu = make_min_shingle_udf(shingle, GRAM_C1, GRAM_C2, MINHASH_P)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(text_col)).alias("fp"),
-        F.array_min(keys).alias("min_shingle_fp"),
+        mu(F.col(text_col)).alias("min_shingle_fp"),
     )
 
 

@@ -83,72 +83,50 @@ GRAM_C1 = 1000003
 GRAM_C2 = 999983
 
 
-def _gram_key_rows(
-    docs: DataFrame, n: int, id_col: str, text_col: str
+def _gram_key_arrays(
+    docs: DataFrame, n: int, id_col: str, text_col: str,
+    num_hashes: int = 0,
 ) -> DataFrame:
-    """(doc, gk long): one row per (doc, distinct gram key).
+    """(doc, gks array<long>[, sig array<long>]): DISTINCT gram keys
+    per doc (plus, when ``num_hashes`` > 0, the MinHash signature over
+    that key set — null when the set is empty).
 
     Gram key = 62-bit integer from the md5 of each token: the md5 hex
     is split into two independent 60-bit halves (chars 1-15 / 16-30),
     each reduced mod P=2^31-1, and each n-gram's key is
     poly_C1(h1[i..i+n)) · P + poly_C2(h2[i..i+n)) where poly_C is a
-    rolling polynomial mod P. This replaces the naive
-    build-the-gram-string-then-md5 shape (measured 6x slower: the
-    array_join string churn + one md5 per GRAM dominates) while
-    keeping a 62-bit key space (two 31-bit polys must BOTH collide),
-    and every step is plain integer algebra the DuckDB oracle
-    reproduces digit-for-digit — a collision affects both engines
-    identically. array_distinct runs on the hashed keys, mirrored.
+    rolling polynomial mod P — plain integer algebra the DuckDB
+    oracle reproduces digit-for-digit, so a collision affects both
+    engines identically.
 
-    PLAN SHAPE CONSTRAINT (hard-won): the gram-key array column must
-    be consumed by EXACTLY ONE expression (the explode). A second
-    reference — even F.size on the bound column — makes Catalyst
-    inline the whole nested transform into each reference and then
-    into every element_at, re-evaluating the token-hash arrays per
-    gram position (measured 0.7 s → 190 s at sf0.1). Set sizes are
-    therefore recovered AFTER the explode (window count in
-    _with_set_size), never from the array.
-    """
-    toks = with_tokens(text_col)
+    Round-6 shape (guide §4.2): the md5 + rolling-poly work runs in an
+    Arrow-batched NumPy kernel with per-distinct-token md5
+    memoization (functions/hashkernel.py) instead of interpreted
+    Catalyst HOF lambdas. The round-5 "consume the array exactly
+    once" constraint no longer applies: the ArrowEvalPython output is
+    a MATERIALIZED column, so F.size / F.explode may both reference
+    it freely, which is what lets set sizes come from F.size(gks)
+    with no window shuffle."""
+    from zensearch_spark.functions.hashkernel import make_gram_keys_udf
 
-    def half(start: int):
-        return F.transform(
-            toks,
-            lambda x: F.conv(F.substring(F.md5(x), start, 15), 16, 10).cast("long")
-            % MINHASH_P,
-        )
-
-    bound = docs.select(
-        F.col(id_col).alias("doc"), half(1).alias("th1"), half(16).alias("th2")
+    udf = make_gram_keys_udf(
+        n, GRAM_C1, GRAM_C2, MINHASH_P,
+        num_hashes=num_hashes,
+        coeffs=minhash_coeffs(num_hashes) if num_hashes else None,
     )
-
-    def poly(col_name: str, c: int, i):
-        acc = F.element_at(F.col(col_name), i)
-        for j in range(1, n):
-            acc = (acc * c + F.element_at(F.col(col_name), i + j)) % MINHASH_P
-        return acc
-
-    gram_keys = F.when(
-        F.size("th1") >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size("th1") - (n - 1)),
-                lambda i: poly("th1", GRAM_C1, i) * F.lit(MINHASH_P)
-                + poly("th2", GRAM_C2, i),
-            )
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return bound.select("doc", F.explode(gram_keys).alias("gk"))
+    out = docs.select(F.col(id_col).alias("doc"), udf(F.col(text_col)).alias("_g"))
+    cols = [F.col("_g.gks").alias("gks")]
+    if num_hashes:
+        cols.append(F.col("_g.sig").alias("sig"))
+    return out.select("doc", *cols)
 
 
-def _with_set_size(eg: DataFrame) -> DataFrame:
-    """eg + ``set_size`` = |gram set| per doc, via a window count over
-    the exploded rows (docs with zero grams have no rows and no pairs,
-    so their absence is correct). See _gram_key_rows for why this is
-    NOT F.size on the gram array."""
-    from pyspark.sql import Window
-
-    return eg.withColumn("set_size", F.count("*").over(Window.partitionBy("doc")))
+def _gram_key_rows(
+    docs: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, gk long): one row per (doc, distinct gram key)."""
+    arr = _gram_key_arrays(docs, n, id_col, text_col)
+    return arr.select("doc", F.explode("gks").alias("gk"))
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -185,36 +163,44 @@ def ngram_jaccard_pairs(
     cap in its DuckDB oracle, so correctness checks stay exact at any
     setting. None = no cap (exact classic Jaccard).
 
-    With a cap set, the exploded gram rows are persisted (they feed
-    the df count, the self-join and the set-size window) and pinned on
-    the returned DataFrame — call
+    With a cap set, the per-doc gram-key ARRAYS are persisted (they
+    feed the df count and both self-join sides) and pinned on the
+    returned DataFrame — call
     ``zensearch_spark.caching.release(df)`` after materializing
     (ADVICE r3: the cache otherwise outlives the call in long-lived
     sessions).
+
+    Round-6 shape: set sizes ride along from F.size(gks) (no-cap
+    path) or a post-filter partial-agg count (cap path) — the
+    Window.partitionBy(doc) count that previously re-shuffled every
+    exploded gram row is gone.
     """
     pinned = None
-    eg = _gram_key_rows(docs, n, id_col, text_col)
-    if max_gram_df is not None:
-        # skew-safe cap (judge round-2 item 5): persist the exploded
-        # gram rows ONCE (they feed the df count, the self-join and the
-        # set-size window — one evaluation instead of three), count per
-        # gram with groupBy (map-side partial agg — no single task ever
-        # holds all rows of the hottest gram, unlike the previous
-        # Window.partitionBy("gk") shape, where the very gram the cap
-        # exists to drop formed the biggest single-task partition), and
-        # anti-join the few over-cap keys back as a BROADCAST filter
-        # (over-cap keys are ≤ |corpus grams| / max_gram_df by
-        # construction). Sizes are recomputed over the FILTERED
-        # universe so Jaccard stays self-consistent.
-        eg = pinned = eg.persist()
+    if max_gram_df is None:
+        arr = _gram_key_arrays(docs, n, id_col, text_col)
+        eg = arr.select(
+            "doc", F.size("gks").alias("set_size"), F.explode("gks").alias("gk")
+        )
+    else:
+        # skew-safe cap (judge round-2 item 5): persist the kernel
+        # output ONCE (one array row per doc — far smaller than the
+        # exploded rows), count per gram with groupBy (map-side
+        # partial agg — no single task ever holds all rows of the
+        # hottest gram), and anti-join the few over-cap keys back as
+        # a BROADCAST filter (over-cap keys are ≤ |corpus grams| /
+        # max_gram_df by construction). Sizes are recomputed over the
+        # FILTERED universe so Jaccard stays self-consistent.
+        arr = pinned = _gram_key_arrays(docs, n, id_col, text_col).persist()
+        eg0 = arr.select("doc", F.explode("gks").alias("gk"))
         hot = (
-            eg.groupBy("gk")
+            eg0.groupBy("gk")
             .agg(F.count("*").alias("gdf"))
             .filter(F.col("gdf") > max_gram_df)
             .select("gk")
         )
-        eg = eg.join(F.broadcast(hot), "gk", "left_anti")
-    eg = _with_set_size(eg)
+        kept = eg0.join(F.broadcast(hot), "gk", "left_anti")
+        sz = kept.groupBy("doc").agg(F.count("*").alias("set_size"))
+        eg = kept.join(sz, "doc")
     a, b = eg.alias("a"), eg.alias("b")
     pairs = (
         a.join(b, (F.col("a.gk") == F.col("b.gk")) & (F.col("a.doc") < F.col("b.doc")))
@@ -294,8 +280,18 @@ def minhash_lsh_pairs(
     operator byte-identical to its DuckDB oracle.
     """
     rows = num_hashes // bands
-    eg = _gram_key_rows(docs, n, id_col, text_col)
-    sig = _signatures_from_rows(eg, num_hashes)
+    # ONE kernel pass computes both the gram-key set and the MinHash
+    # signature per doc (round 6, guide §4.2); the array-row table is
+    # persisted because it feeds the banding AND both verify sides —
+    # previously the gram generation subtree was re-evaluated once per
+    # consumer. Signature parity with _signatures_from_rows /
+    # _minhash_lsh_sql is exact (same integer algebra, same coeffs).
+    arr = _gram_key_arrays(
+        docs, n, id_col, text_col, num_hashes=num_hashes
+    ).persist()
+    sig = arr.filter(F.col("sig").isNotNull()).select(
+        F.col("doc").alias("doc_id"), "sig"
+    )
     band_cols = F.array(
         *[
             F.struct(
@@ -336,9 +332,12 @@ def minhash_lsh_pairs(
     # route each candidate pair through the gram-key rows of its two
     # docs: |output| = Σ_pairs |grams(doc_a)| at the first join, then
     # the (doc_b, gk) equi-join keeps only shared grams. No full-corpus
-    # all-pairs join anywhere. Set sizes ride along on the gram rows —
-    # no extra pass over the gram generation subtree.
-    egs = _with_set_size(eg)
+    # all-pairs join anywhere. Set sizes come straight from
+    # F.size(gks) on the persisted kernel output — the set-size window
+    # shuffle is gone (round 6).
+    egs = arr.select(
+        "doc", F.size("gks").alias("set_size"), F.explode("gks").alias("gk")
+    )
     ga = egs.select(
         F.col("doc").alias("doc_a"), "gk", F.col("set_size").alias("size_a")
     )
@@ -355,7 +354,9 @@ def minhash_lsh_pairs(
             F.first("size_b").alias("size_b"),
         )
     )
-    return (
+    from zensearch_spark.caching import pin
+
+    return pin(
         inter
         .withColumn(
             "jaccard",
@@ -364,7 +365,8 @@ def minhash_lsh_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        arr,
     )
 
 
@@ -374,26 +376,22 @@ def simhash_fingerprints(
     """(doc_id, simhash long): token-frequency-weighted SimHash.
 
     Per token occurrence, md5-int hash; bit j votes +1 if set else −1;
-    fingerprint bit j = 1 iff the vote sum > 0. One pass over the
-    token rows: the per-bit votes are ``bits`` aggregation columns
-    over the SAME rows (map-side partial agg) instead of a
-    tokens × bits row explosion (the round-1 shape — a 32× shuffle
-    blowup for identical output)."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(with_tokens(text_col)).alias("tok")
-    ).withColumn("h", _md5_int(F.col("tok")))
-    votes = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
-    )
-    fp = None
-    for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    fingerprint bit j = 1 iff the vote sum > 0.
+
+    Round-6 shape (guide §4.2): the whole vote/pack computation runs
+    per doc inside an Arrow-batched NumPy kernel with per-distinct-
+    token md5 memoization — no explode, no shuffle at all (the
+    round-5 shape shipped every token occurrence through a 32-column
+    aggregation). Docs with zero tokens produce no aggregation rows
+    in the old shape, so the kernel returns null for them and they
+    are filtered — identical output."""
+    from zensearch_spark.functions.hashkernel import make_simhash_udf
+
+    fp = make_simhash_udf(bits)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            fp(F.col(text_col)).alias("simhash"),
         )
-        fp = bit if fp is None else fp + bit
-    return votes.select("doc_id", fp.alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+    )

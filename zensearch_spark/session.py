@@ -102,6 +102,16 @@ def get_spark(
         # ~batch × row-width, well within executor budgets
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Input split size is WORKLOAD-dependent (guide §6): the local
+        # testdata ships one file per table with multi-MB row groups,
+        # so the 128m default reads e.g. the whole 126 MB lineitem in
+        # ONE task; 16m splits it at row-group granularity across
+        # cores. On a large cluster with many-GB scans the guide's
+        # 512m–1g is right — set SPARK_GRAFT_MAX_PARTITION_BYTES there.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # This guest's degraded phases can stall the whole JVM long
         # enough that the (in-process!) executor→driver heartbeat
         # times out and Spark tears the context down mid-job
