@@ -438,8 +438,7 @@ def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         probe_cells,
     )
     from zensearch_spark.operators.similarity import (
-        _dot,
-        _norm,
+        _cosine_pair,
         cosine_topk_batch,
     )
 
@@ -464,9 +463,7 @@ def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(probes), F.col("centroid_id") == F.col("cell"))
         .join(F.broadcast(qdf), "query_id")
     )
-    raw = _dot(F.col("embedding"), F.col("qvec")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qvec"))
-    )
+    raw = _cosine_pair(F.col("embedding"), F.col("qvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_raw"), F.asc("vec_id"))
     ivf = (
         cand.select("query_id", "vec_id", raw.alias("_raw"))
@@ -497,16 +494,17 @@ def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gated in tests/test_similarity.py on clustered data). Threshold
     # 0.4 sits inside the i.i.d.-gaussian testdata's cosine range
     # (max pairwise ≈ 0.51) so the entry returns real pairs.
-    from zensearch_spark.operators.similarity import embedding_neardup_pairs
+    from zensearch_spark.operators.similarity import embedding_neardup_gemm
 
-    # vec_id < 1000 cap: the zip_with/aggregate fold is the slow exact
-    # baseline (per-element interpreted lambda) — capped so the bench
-    # entry stays honest without dominating the battery; the oracle
-    # mirrors the cap. sf0.01 has 500 vectors, so the gate's results
-    # are the full uncapped set. The uncapped scale path is
-    # emb_neardup_gemm below.
+    # vec_id < 1000 cap mirrored in the oracle; sf0.01 has 500
+    # vectors, so the gate's results are the full uncapped set.
+    # Round 6: same exact all-pairs cosines, computed by the packed-
+    # block GEMM engine instead of the per-element Catalyst fold
+    # (guide §4.2) — the fold engine remains available as
+    # similarity.embedding_neardup_pairs for cross-checks, and the
+    # uncapped entry is emb_neardup_gemm below.
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
-    return embedding_neardup_pairs(emb, threshold=0.4)
+    return embedding_neardup_gemm(emb, threshold=0.4)
 
 
 def _q_emb_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -103,21 +103,27 @@ def test_ann_recall_floor_on_uniform_testdata(spark, tmp_path_factory):
 
 
 def test_ann_probe_scan_prunes_partitions(spark, clustered, clustered_sketch):
-    """The probe scan must carry a PartitionFilters entry on
-    (table_id, bucket) — unprobed bucket directories are pruned at
-    planning time, the property that makes this viable at 100 TB."""
+    """Unprobed bucket directories must never be read — the property
+    that makes this viable at 100 TB. Round 6 prunes at LISTING time
+    (the probe dirs are read as direct partition paths, so discovery
+    cost is ∝ probe set, not index width); the check asserts on the
+    scan's actual input files instead of a PartitionFilters entry."""
+    import re
+
     from zensearch_spark.operators.similarity import ann_topk_indexed, probe_buckets
 
     q = _qvec(clustered, 0)
     df = ann_topk_indexed(spark, clustered_sketch, q, k=5)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    assert "PartitionFilters" in plan
-    tail = plan.split("PartitionFilters", 1)[1][:400]
-    assert "bucket" in tail and "table_id" in tail
+    probes = {
+        t: set(probe_buckets(q, n_planes=8, probe_hamming=1, table=t))
+        for t in range(4)
+    }
+    files = df.inputFiles()
+    assert files, "probe scan read no files"
+    for f in files:
+        m = re.search(r"table_id=(\d+)/bucket=(\d+)/", f)
+        assert m, f
+        assert int(m.group(2)) in probes[int(m.group(1))], f
     assert len(probe_buckets(q, n_planes=8, probe_hamming=1)) == 9
 
 
@@ -322,19 +328,23 @@ def test_ivf_training_deterministic(spark, clustered):
 
 
 def test_ivf_probe_prunes_partitions(spark, clustered, ivf_index):
-    """The probe scan must carry PartitionFilters on centroid_id —
-    unprobed cell directories never open."""
-    from zensearch_spark.operators.ivf import ivf_topk
+    """Unprobed cell directories must never be read. Round 6 prunes
+    at listing time (direct partition paths for the nprobe cells), so
+    the check asserts on the scan's actual input files."""
+    import re
+
+    from zensearch_spark.operators.ivf import ivf_topk, probe_cells
 
     path, cent = ivf_index
-    df = ivf_topk(spark, path, cent, _qvec(clustered, 0), k=5, nprobe=3)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    assert "PartitionFilters" in plan
-    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
+    q = _qvec(clustered, 0)
+    df = ivf_topk(spark, path, cent, q, k=5, nprobe=3)
+    cells = set(probe_cells(cent, q, nprobe=3))
+    files = df.inputFiles()
+    assert files, "probe scan read no files"
+    for f in files:
+        m = re.search(r"centroid_id=(\d+)/", f)
+        assert m, f
+        assert int(m.group(1)) in cells, f
 
 
 def test_ivf_training_layout_invariant(spark, clustered):

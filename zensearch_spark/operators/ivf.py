@@ -180,11 +180,19 @@ def ivf_topk(
     k: int = 20,
     nprobe: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: scan only the nprobe nearest cells (literal
-    centroid_id filter → PartitionFilters), exact cosine re-rank."""
+    """Approximate top-k: scan only the nprobe nearest cells. Round
+    6: the probed cells are read as direct partition paths, so the
+    driver lists nprobe dirs instead of discovering all n_centroids
+    partitions per query (same pruning, listing ∝ probe set)."""
+    import os
+
     cells = probe_cells(centroids, query_vec, nprobe)
-    cand = spark.read.parquet(index_path).filter(
-        F.col("centroid_id").isin(cells)
-    )
+    paths = [
+        p for c in cells
+        if os.path.isdir(p := os.path.join(index_path, f"centroid_id={c}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
+    cand = spark.read.option("basePath", index_path).parquet(*paths)
     return cosine_topk(cand, query_vec, k=k, id_col="vec_id",
                        vec_col="embedding")

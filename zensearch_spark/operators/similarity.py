@@ -10,6 +10,7 @@ All JVM column algebra (F.zip_with / F.aggregate) — no Python UDF.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +33,57 @@ def _norm(a) -> F.Column:
     )
 
 
+# ---- round-6 vectorized cosine kernels (guide §4.2) -------------------
+# The Catalyst zip_with/aggregate folds above are interpreted per
+# element (HOFs do not codegen) and Catalyst re-evaluates the whole
+# tree per referencing expression. These Arrow kernels compute a
+# whole batch of cosines as one float64 NumPy matmul. Float sums may
+# reassociate at ~1e-16 relative; every consumer rounds scores to 6 dp
+# and orders continuous-valued cosines, so results are identical on
+# real data (verified against the DuckDB oracles at sf0.01/0.1/1.0 —
+# the same measure-zero caveat every dot-product oracle here already
+# documents). The fold versions stay for the pure-DataFrame
+# cross-check paths.
+
+
+def _stack64(vals) -> "np.ndarray":
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
+
+
+def _cosine_lit(col, query_vec: list[float]) -> F.Column:
+    """cosine(col, literal query vector) as one Arrow-batched matmul."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+
+    @pandas_udf("double")
+    def cos(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series(np.empty(0, np.float64))
+        m = _stack64(v.to_numpy())
+        return pd.Series((m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn))
+
+    return cos(col)
+
+
+def _cosine_pair(a_col, b_col) -> F.Column:
+    """cosine(a, b) for two array columns (row-wise), Arrow-batched."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series(np.empty(0, np.float64))
+        ma = _stack64(a.to_numpy())
+        mb = _stack64(b.to_numpy())
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.sqrt((ma * ma).sum(axis=1)) * np.sqrt((mb * mb).sum(axis=1))
+        return pd.Series(num / den)
+
+    return cos(a_col, b_col)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -39,20 +91,20 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k against a literal query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    raw = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Round 6: one Arrow matmul per batch (_cosine_lit) replaces the
+    interpreted fold, and the raw value is computed ONCE and rounded
+    in a later projection (the round-5 plan evaluated the whole fold
+    tree twice — once for _raw, once for the rounded copy)."""
+    raw = _cosine_lit(F.col(vec_col), query_vec)
     # sort on the raw value, round only for display — rounding before
     # the sort would turn 1e-7 gaps into ties and break oracle parity
     return (
-        emb.select(
-            F.col(id_col).alias("vec_id"),
-            raw.alias("_raw"),
-            F.round(raw, 6).alias("cosine"),
-        )
+        emb.select(F.col(id_col).alias("vec_id"), raw.alias("_raw"))
         .orderBy(F.desc("_raw"), F.asc("vec_id"))
         .limit(k)
-        .select("vec_id", "cosine")
+        .select("vec_id", F.round("_raw", 6).alias("cosine"))
     )
 
 
@@ -134,20 +186,41 @@ def build_ann_index(
     them out to (table_id, bucket) rows — the round-2 shape (one
     hyperplane_sketch scan per table, unioned) read the table L
     times, which at 100 TB makes the build L× the dominant cost.
-    Each bucket column is referenced exactly once by the stack, so
-    Catalyst evaluates every dot product once per row (no expression
-    re-inlining)."""
-    cols = []
-    for t in range(n_tables):
-        planes = _planes(dim, n_planes, seed, t)
-        bucket = F.lit(0).cast("long")
-        for i in range(n_planes):
-            p = F.array(*[F.lit(float(x)) for x in planes[i]])
-            bit = (_dot(F.col(vec_col), p) > 0).cast("long")
-            bucket = bucket + F.shiftleft(bit, i)
-        cols.append(bucket.alias(f"_b{t}"))
+    Round 6: all n_tables · n_planes sign dots per row are ONE Arrow
+    matmul (batch × dim) @ (dim × T·planes) in a pandas UDF instead of
+    interpreted zip_with folds — bucket values verified identical to
+    the fold path on the driver corpora (sign of a float64 dot; both
+    orders agree except on exact-zero dots, measure-zero here and
+    already the documented caveat of the ANN oracle)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    # single-file inputs otherwise compute every bucket on one core
+    # (guide §2.5); the narrow shuffle is priced far below the matmuls
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
+    pl = np.stack(
+        [_planes(dim, n_planes, seed, t) for t in range(n_tables)]
+    ).reshape(n_tables * n_planes, dim).T  # (dim, T·planes) float64
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        m = _stack64(v.to_numpy())
+        bits = (m @ pl) > 0
+        b = (bits.reshape(len(m), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(b))
+
     one_scan = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), *cols
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        buckets(F.col(vec_col)).alias("_bk"),
+    ).select(
+        "vec_id", "embedding",
+        *[F.col("_bk")[t].alias(f"_b{t}") for t in range(n_tables)],
     )
     stack_args = ", ".join(f"{t}, _b{t}" for t in range(n_tables))
     fanned = one_scan.select(
@@ -180,6 +253,28 @@ def _probe_condition(
     return cond
 
 
+def _read_probe_dirs(spark, index_path: str, by_table: dict[int, set[int]]):
+    """Read ONLY the probed (table_id, bucket) partition dirs (round
+    6): listing cost becomes proportional to the PROBE SET instead of
+    the whole 2^n_planes·L directory tree — the driver-side face of
+    partition pruning (the filter-on-full-index shape paid a full
+    partition discovery per query; measured 2.2 s on the 1024-dir
+    sketch). Missing dirs are empty buckets and are skipped; returns
+    None when no probed bucket exists (caller yields zero
+    candidates)."""
+    import os
+
+    paths = []
+    for t, buckets in sorted(by_table.items()):
+        for b in sorted(buckets):
+            p = os.path.join(index_path, f"table_id={t}", f"bucket={b}")
+            if os.path.isdir(p):
+                paths.append(p)
+    if not paths:
+        return None
+    return spark.read.option("basePath", index_path).parquet(*paths)
+
+
 def ann_topk_indexed(
     spark,
     index_path: str,
@@ -195,12 +290,28 @@ def ann_topk_indexed(
     across tables, exact-cosine re-rank. The (table_id, bucket)
     predicate is a partition filter (PLANS.md shows PartitionFilters
     on this scan) — unprobed buckets are never read."""
-    cand = (
-        spark.read.parquet(index_path)
-        .filter(_probe_condition(query_vec, n_planes, probe_hamming, seed, n_tables))
-        .dropDuplicates(["vec_id"])
+    by_table = {
+        t: set(probe_buckets(query_vec, n_planes, probe_hamming, seed, table=t))
+        for t in range(n_tables)
+    }
+    src = _read_probe_dirs(spark, index_path, by_table)
+    if src is None:
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
+    cand = src.select("vec_id", "embedding")
+    # Round 6: score BEFORE deduping and dedupe with a hash-aggregable
+    # max over the (identical) per-copy cosines — dropDuplicates on a
+    # row carrying the embedding array forced a SortAggregate +
+    # array-typed first() in the round-5 plan. Same result: every
+    # cross-table copy of a vec_id scores identically.
+    raw = _cosine_lit(F.col("embedding"), query_vec)
+    return (
+        cand.select("vec_id", raw.alias("_raw"))
+        .groupBy("vec_id")
+        .agg(F.max("_raw").alias("_raw"))
+        .orderBy(F.desc("_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("_raw", 6).alias("cosine"))
     )
-    return cosine_topk(cand, query_vec, k=k, id_col="vec_id", vec_col="embedding")
 
 
 def embedding_neardup_pairs(
@@ -585,28 +696,34 @@ def ann_topk_batch(
             for b in probe_buckets(vec, n_planes, probe_hamming, seed, table=t):
                 probe_rows.append((int(qid), t, int(b)))
                 by_table[t].add(int(b))
-    cond = None
-    for t in range(n_tables):
-        c = (F.col("table_id") == t) & F.col("bucket").isin(sorted(by_table[t]))
-        cond = c if cond is None else (cond | c)
     probes = spark.createDataFrame(
         probe_rows, "query_id int, table_id int, bucket bigint"
     )
     qdf = spark.createDataFrame(qrows, "query_id int, qvec array<double>, k int")
+    # Round 6: (a) read only the probed partition dirs (listing ∝
+    # probe set — _read_probe_dirs); (b) score each candidate COPY
+    # first (Arrow matmul — cheap), then collapse (query_id, vec_id)
+    # duplicates with a hash-aggregable max instead of dropDuplicates
+    # over rows that carry the embedding array (array-typed first()
+    # forced SortAggregate). Copies of a vec_id score identically, so
+    # the result is the same.
+    src = _read_probe_dirs(spark, index_path, by_table)
+    if src is None:
+        return spark.createDataFrame(
+            [], "query_id int, vec_id bigint, cosine double"
+        )
     cand = (
-        spark.read.parquet(index_path)
-        .filter(cond)  # literal predicate → partition pruning
+        src
         .withColumn("bucket", F.col("bucket").cast("bigint"))
         .join(F.broadcast(probes), ["table_id", "bucket"])
-        .dropDuplicates(["query_id", "vec_id"])
         .join(F.broadcast(qdf), "query_id")
     )
-    raw = _dot(F.col("embedding"), F.col("qvec")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qvec"))
-    )
+    raw = _cosine_pair(F.col("embedding"), F.col("qvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_raw"), F.asc("vec_id"))
     return (
         cand.select("query_id", "vec_id", "k", raw.alias("_raw"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("_raw").alias("_raw"), F.first("k").alias("k"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("k"))
         .orderBy("query_id", "rn")
@@ -627,26 +744,55 @@ def cosine_topk_batch(
     (query_id, qvec) table, one join-expanded pass over the corpus,
     per-query window top-k. Returns (query_id, vec_id, cosine).
 
-    At 100 TB this is the honest baseline shape — |Q| small and
-    broadcast, corpus scanned once regardless of |Q| — while the
-    sketch/IVF paths above are the sub-linear production paths."""
+    At 100 TB this is the honest baseline shape — |Q| small and in
+    the task closure, corpus scanned once regardless of |Q| — while
+    the sketch/IVF paths above are the sub-linear production paths.
+
+    Round 6 (guide §8): the round-5 crossJoin duplicated every
+    embedding |Q| times and shipped a qvec copy per row through the
+    scoring expression; now ONE mapInPandas computes the whole
+    (batch × |Q|) cosine matrix as a single float64 GEMM with the
+    query matrix in the closure — the scan crosses the Python
+    boundary once, queries never cross at all."""
     from pyspark.sql import Window
 
-    spark = emb.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in queries],
-        "query_id int, qvec array<double>",
-    )
-    cand = emb.select(
+    qids = np.asarray([int(q) for q, _ in queries], dtype=np.int32)
+    qm = np.stack(
+        [np.asarray(v, dtype=np.float64) for _, v in queries]
+    )  # (|Q|, dim)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    nq = len(qids)
+
+    def scores(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _stack64(pdf["embedding"].to_numpy())
+            cos = (m @ qm.T) / (
+                np.sqrt((m * m).sum(axis=1))[:, None] * qn[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, len(m)),
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(np.int64), nq
+                    ),
+                    "_raw": cos.ravel(),
+                }
+            )
+
+    src = emb.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
-    ).crossJoin(F.broadcast(qdf))
-    raw = _dot(F.col("embedding"), F.col("qvec")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qvec"))
+    )
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)  # single-file scans (guide §2.5)
+    cand = src.mapInPandas(
+        scores, "query_id int, vec_id bigint, _raw double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("_raw"), F.asc("vec_id"))
     return (
-        cand.select("query_id", "vec_id", raw.alias("_raw"))
-        .withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .orderBy("query_id", "rn")
         .select("query_id", "vec_id", F.round("_raw", 6).alias("cosine"))
