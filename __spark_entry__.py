@@ -64,9 +64,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------- queries
 
 def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
+    from zensearch_spark.caching import pin
+
+    # persist the tokenized corpus WITHIN the query (round 6): the
+    # stats pass (corpus_stats collect) and the scoring pass otherwise
+    # each tokenize every document; the pin/release contract frees it
+    # after materialization (same lifecycle as the ngram cap cache)
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents")).persist()
     top = naive_topk(docs, FLAGSHIP_QUERY, FLAGSHIP_K)
-    return top.select("doc_id", F.round("score", 6).alias("score"))
+    return pin(top.select("doc_id", F.round("score", 6).alias("score")), docs)
 
 
 def _q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,11 +102,15 @@ def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A3+A4: df and idf for a fixed term set (token-exact)
     terms = ["spark", "vector", "hash", "stream", "zzabsentzz"]
     docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
-    n_docs = docs.count()
-    pairs = (
-        docs.select("doc_id", F.explode("tokens").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .distinct()
+    # footer-statistics count on the raw table (aggregatePushDown) —
+    # tokenized row count is identical and this skips the repartition
+    n_docs = _t(spark, sf_dir, "documents").count()
+    # round 6: array_intersect yields each doc's DISTINCT matching
+    # terms directly (≤|terms| rows/doc) — the explode-all-tokens →
+    # filter → distinct shape shuffled every token row to dedupe
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_intersect("tokens", term_arr)).alias("term")
     )
     return (
         pairs.groupBy("term")
@@ -115,11 +125,28 @@ def _q_tf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A5: exact-token term frequency per (doc, term)
     terms = ["spark", "join", "filter"]
     docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
+    # round 6: per-doc occurrence counts straight from the token array
+    # (size of a filtered array per term) — no explode of every token
+    # row and no groupBy shuffle; rows with tf = 0 are dropped exactly
+    # like the old groupBy over existing (doc, term) pairs
+    def _eq(t: str):
+        return lambda x: x == F.lit(t)
+
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(F.filter("tokens", _eq(t))).cast("long").alias("tf"),
+            )
+            for t in terms
+        ]
+    )
     return (
-        docs.select("doc_id", F.explode("tokens").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        docs.select(
+            "doc_id",
+            F.explode(F.filter(entries, lambda s: s["tf"] > 0)).alias("e"),
+        )
+        .select("doc_id", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
     )
 
 
@@ -554,17 +581,20 @@ def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25Index.grouped_topk (tests/test_index_and_wand.py).
     from pyspark.sql import Window
 
-    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
+    from zensearch_spark.caching import pin
+
+    docs = tokenized_docs(_tp(spark, sf_dir, "documents")).persist()
     top = naive_topk(docs, FLAGSHIP_QUERY, FLAGSHIP_K).select(
         "doc_id", F.round("score", 6).alias("score")
     )
     src = _t(spark, sf_dir, "documents").select("doc_id", "source")
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    return pin(
         src.join(top, "doc_id")
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 2)
-        .select("source", "rn", "doc_id", "score")
+        .select("source", "rn", "doc_id", "score"),
+        docs,
     )
 
 

@@ -190,42 +190,59 @@ def quirks_compat_topk(
         return spark.createDataFrame([], "doc_id long, score double")
     lower = F.lower(F.col(text_col))
     dl = F.size(F.split(F.col(text_col), " "))  # spaces+1 (doc_length.go:5-16)
-    base = docs_text.select(
-        F.col(id_col).alias("doc_id"), lower.alias("lt"), dl.alias("dl")
-    )
-    n_docs = base.count()
-    avg_dl = base.agg(F.avg("dl")).collect()[0][0]
-    tf_of = {
+    dterms = sorted(set(terms))
+    tf_expr = {
         t: (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(t))))
         / len(t)
-        for t in set(terms)
+        for t in dterms
     }
-    df_per_term = base.select(
+    # Round 6 (guide §1.2/§5): the substring occurrence counts are the
+    # expensive part (one replace+length scan of every lowercased doc
+    # per term) and were previously computed in THREE separate full
+    # passes (count(), df collect, final score scan). Now one pass
+    # materializes the narrow per-doc (dl, tf_i) table, persisted and
+    # pinned; the stats aggregate and the score projection both read
+    # it — the text is lowercased and substring-scanned exactly once.
+    base = docs_text.select(
+        F.col(id_col).alias("doc_id"), lower.alias("lt"), dl.alias("dl")
+    ).select(
+        "doc_id", "dl",
+        *[tf_expr[t].alias(f"tf_{i}") for i, t in enumerate(dterms)],
+    ).persist()
+    tf_col = {t: F.col(f"tf_{dterms.index(t)}") for t in set(terms)}
+    stats = base.agg(
+        F.count("*").alias("_n"),
+        F.avg("dl").alias("_avgdl"),
         *[
-            F.sum(F.when(tf_of[t] > 0, 1).otherwise(0)).alias(f"df_{i}")
+            F.sum(F.when(tf_col[t] > 0, 1).otherwise(0)).alias(f"df_{i}")
             for i, t in enumerate(terms)
-        ]
+        ],
     ).collect()[0]
+    n_docs = int(stats["_n"])
+    avg_dl = stats["_avgdl"]
     idf_sum = 0.0
     import math
 
     for i, t in enumerate(terms):
-        dfv = int(df_per_term[f"df_{i}"])
+        dfv = int(stats[f"df_{i}"])
         if dfv > 0:
             idf_sum += math.log(n_docs / dfv)
     tfcomp_sum = None
     for t in terms:  # query order — the reference's accumulation order
-        tf = tf_of[t]
+        tf = tf_col[t]
         comp = (tf * (k1 + 1.0)) / (
             (tf + k1) * (1.0 - b + b) * (F.col("dl") / F.lit(float(avg_dl)))
         )
         tfcomp_sum = comp if tfcomp_sum is None else tfcomp_sum + comp
-    return (
+    from zensearch_spark.caching import pin
+
+    return pin(
         base.select(
             "doc_id",
             F.round(F.lit(idf_sum) * tfcomp_sum, 6).alias("score"),
         )
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+        .limit(k),
+        base,
     )
