@@ -710,7 +710,7 @@ def _q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computes the identical extraction.
     from zensearch_spark.operators.links import extract_links
 
-    d = _tp(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<p><a href="https://'), F.col("source"),
         F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),

@@ -35,9 +35,20 @@ def main() -> None:
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
-    from jobs.stage_scaling import PHASE_FACTOR, PhaseState
+    from jobs.stage_scaling import DEV_LOCK, PHASE_FACTOR, PhaseState
     from zensearch_spark.caching import release
     from zensearch_spark.session import get_spark
+
+    # pause any concurrent scaling campaign while we measure (and
+    # vice versa) — same cooperative lock bench.py holds
+    try:
+        with open(DEV_LOCK, "w") as f:
+            f.write(f"bench_extra pid={os.getpid()}\n")
+    except OSError:
+        pass
+    import atexit
+
+    atexit.register(lambda: os.path.exists(DEV_LOCK) and os.unlink(DEV_LOCK))
 
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app="zensearch-bench-extra", cores=cores)

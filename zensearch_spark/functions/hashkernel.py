@@ -134,6 +134,32 @@ def make_min_shingle_udf(shingle: int, c1: int, c2: int, p: int):
     return min_shingle
 
 
+def make_stopcount_udf(stopwords: list[str]):
+    """pandas UDF text -> struct(n_tokens int, n_stop int): token and
+    stopword-occurrence counts (same str.lower().split() tokenizer
+    twin; the caller derives the rounded fraction in JVM so float
+    behavior is unchanged)."""
+    stopset = frozenset(stopwords)
+    schema = T.StructType(
+        [
+            T.StructField("n_tokens", T.IntegerType(), False),
+            T.StructField("n_stop", T.IntegerType(), False),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def stopcount(texts: pd.Series) -> pd.DataFrame:
+        n_out = []
+        s_out = []
+        for txt in texts:
+            toks = (txt or "").lower().split()
+            n_out.append(len(toks))
+            s_out.append(sum(1 for t in toks if t in stopset))
+        return pd.DataFrame({"n_tokens": n_out, "n_stop": s_out})
+
+    return stopcount
+
+
 def make_simhash_udf(bits: int):
     """pandas UDF text -> long: token-frequency-weighted SimHash over
     the 60-bit md5 ints (NO mod-P here — mirrors dedup._md5_int).

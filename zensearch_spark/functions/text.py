@@ -23,18 +23,22 @@ def stopword_language_score(docs: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, stop_frac, looks_english) — n-gram-free
     language-ID heuristic: fraction of tokens in an English stopword
-    list."""
-    toks = with_tokens(text_col)
-    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    n_stop = F.aggregate(
-        toks,
-        F.lit(0),
-        lambda acc, t: acc + F.when(F.array_contains(stop_arr, t), 1).otherwise(0),
+    list.
+
+    Round 6 (guide §4.2): the per-token membership test ran as an
+    interpreted Catalyst aggregate lambda × 16 array_contains per
+    token; the counts now come from an Arrow kernel (exact integers),
+    with the rounded fraction still derived in JVM."""
+    from zensearch_spark.functions.hashkernel import make_stopcount_udf
+
+    sc_udf = make_stopcount_udf(EN_STOPWORDS)
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"), sc_udf(F.col(text_col)).alias("_c")
     )
-    n_tokens = F.size(toks)
-    frac = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    n_tokens = F.col("_c.n_tokens")
+    frac = F.round(F.col("_c.n_stop") / F.greatest(n_tokens, F.lit(1)), 6)
+    return counted.select(
+        "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         frac.alias("stop_frac"),
         (frac >= 0.02).alias("looks_english"),

