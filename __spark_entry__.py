@@ -85,16 +85,26 @@ def _q_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A1: per-doc token count (token semantics, SURVEY §2.4)
-    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
-    return docs.select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+    # A1: per-doc token count (token semantics, SURVEY §2.4). Round 6:
+    # counted with one codegen'd regexp_count pass (non-whitespace
+    # runs ≡ the tokenizer's token count) instead of materializing the
+    # token array and filtering it with an interpreted lambda.
+    from zensearch_spark.functions.tokenizer import token_count_expr
+
+    return _tp(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        token_count_expr("text").cast("long").alias("doc_len"),
+    )
 
 
 def _q_avgdl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A2: global average document length
-    docs = tokenized_docs(_tp(spark, sf_dir, "documents"))
-    return docs.agg(
-        F.count("*").alias("n_docs"), F.round(F.avg("doc_len"), 6).alias("avgdl")
+    # A2: global average document length (same regexp_count token
+    # counting as doc_length — no token array, pure codegen)
+    from zensearch_spark.functions.tokenizer import token_count_expr
+
+    return _tp(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(token_count_expr("text")), 6).alias("avgdl"),
     )
 
 

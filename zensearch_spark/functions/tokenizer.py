@@ -46,3 +46,14 @@ def tokens_sql_expr(col: str = "text") -> Column:
 def with_tokens(col: str = "text") -> Column:
     """Hot-path tokenizer used by the index build and naive scorer."""
     return tokens_sql_expr(col)
+
+
+def token_count_expr(col: str = "text") -> Column:
+    """Token COUNT without materializing the token array (round 6):
+    the number of non-whitespace runs equals len(split-on-\\s+, drop
+    empties) exactly — Java \\S ≡ [^\\s] — and regexp_count is a
+    single codegen'd pass while F.filter(F.split(...)) evaluates an
+    interpreted lambda per token (measured ~70% of the doc_map
+    stage's task-time at 8.6M docs). Lowercasing does not change the
+    count, so it is skipped."""
+    return F.regexp_count(F.coalesce(F.col(col), F.lit("")), F.lit(r"\S+"))

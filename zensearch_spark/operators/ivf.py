@@ -98,6 +98,20 @@ def modular_mean_centroids(
         .collect()
     )
     dim = 1 + max(r["dim"] for r in rows)
+    seen = {r["cell"] for r in rows}
+    if len(seen) != n_cells:
+        # ADVICE r5: the DuckDB mirror (_ivf_recall_sql centv CTE)
+        # has no row for an empty cell, while a zero-vector centroid
+        # here would still participate in assignment/probing — the
+        # two engines would diverge spuriously. Dense ids guarantee
+        # every residue class is populated whenever n_rows >= n_cells;
+        # enforce that precondition instead of silently diverging.
+        missing = sorted(set(range(n_cells)) - seen)
+        raise ValueError(
+            f"modular_mean_centroids: cells {missing} have no members "
+            f"(n_cells={n_cells}) — id space must cover every residue "
+            "class mod n_cells for oracle parity"
+        )
     cent = np.zeros((n_cells, dim))
     for r in rows:
         cent[r["cell"], r["dim"]] = r["cx"]

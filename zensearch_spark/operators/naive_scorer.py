@@ -119,13 +119,18 @@ def naive_topk(
 
 
 def tokenized_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, tokens, doc_len) from any (id, text) table."""
-    from zensearch_spark.functions.tokenizer import with_tokens
+    """(doc_id, tokens, doc_len) from any (id, text) table.
+
+    doc_len uses the codegen'd regexp_count twin (round 6): F.size on
+    the tokens column would make Catalyst inline the whole tokenize
+    expression a second time into the same projection (HOFs get no
+    codegen subexpression elimination)."""
+    from zensearch_spark.functions.tokenizer import token_count_expr, with_tokens
 
     return (
         df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
         .withColumn("tokens", with_tokens("text"))
-        .withColumn("doc_len", F.size("tokens"))
+        .withColumn("doc_len", token_count_expr("text"))
         .drop("text")
     )
 

@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 
 from zensearch_spark import BLOCK_SIZE
 from zensearch_spark.catalog import read_table, write_table
-from zensearch_spark.functions.tokenizer import with_tokens
+from zensearch_spark.functions.tokenizer import token_count_expr, with_tokens
 from zensearch_spark.operators.docmap import assign_doc_ids, unpersist_intermediates
 from zensearch_spark.plans.checkpoint import StageRunner
 
@@ -334,7 +334,7 @@ def stage_doc_map(spark: SparkSession, corpus: DataFrame, out_path: str) -> int:
     else:
         ids = F.broadcast(stamped)
     out = corpus.join(ids, ["conv_id", "turn_idx"]).withColumn(
-        "doc_len", F.size(with_tokens("text"))
+        "doc_len", token_count_expr("text")
     )
     write_table(out, out_path)
     expected = getattr(stamped, "_zs_total", None)
